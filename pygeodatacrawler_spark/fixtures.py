@@ -1,0 +1,167 @@
+"""Deterministic synthetic `pages` corpus (seed=42) per FIXTURES.md §1.
+
+The Common-Crawl-style analog of the reference's demo/ tree: ~hosts with
+link trees, ~10% ISO19139 metadata islands, ~10% Dublin-Core blocks, one
+heavy host holding ~30% of all URLs (skew-salting exercise), and
+query-string variant links (canonicalization exercise).
+
+The ``text`` column is produced by the SAME extractor the engine uses
+(functions/text.py), which *defines* the byte-identical-per-url
+invariant; tests then verify the distributed extraction reproduces the
+stored column sha-for-sha.
+
+Everything derives from random.Random(seed) — identical corpus on any
+machine, no wall clock, no external data.
+"""
+
+from __future__ import annotations
+
+import random
+from datetime import datetime, timedelta
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+
+from pygeodatacrawler_spark.functions.text import extract_text_py
+
+WORDS = (
+    "the quick crawl frontier spark shuffle partition robots fetch index "
+    "metadata harvest record catalog layer extent keyword title abstract "
+    "dataset service capability domain budget politeness snapshot lineage "
+    "el la de que los las der die das und est une et les web page link"
+).split()
+
+BRANCHING = 4
+T0 = datetime(2024, 1, 1, 0, 0, 0)
+
+
+def _iso_island(host: str, j: int) -> str:
+    return (
+        '<div class="metadata"><MD_Metadata>'
+        f"<fileIdentifier>{host}-ds-{j}</fileIdentifier>"
+        f"<title>Dataset {j} of {host}</title>"
+        f"<abstract>Synthetic ISO19139 island {j} for {host}</abstract>"
+        f"<keyword>geo</keyword><keyword>crawl-{j % 5}</keyword>"
+        f"<date>2024-0{(j % 9) + 1}-01</date>"
+        "</MD_Metadata></div>"
+    )
+
+
+def _dc_block(host: str, j: int) -> str:
+    return (
+        "<oai_dc:dc>"
+        f"<dc:identifier>{host}-dc-{j}</dc:identifier>"
+        f"<dc:title>DC record {j} of {host}</dc:title>"
+        f"<dc:description>Synthetic Dublin-Core block {j}</dc:description>"
+        f"<dc:subject>web</dc:subject><dc:subject>dc-{j % 3}</dc:subject>"
+        "</oai_dc:dc>"
+    )
+
+
+def _page_url(host: str, j: int) -> str:
+    if j % 9 == 5:
+        return f"https://{host}/sub/page-{j}.html"
+    if j % 11 == 7:
+        return f"https://{host}/tmp-page-{j}.html"
+    return f"https://{host}/page-{j}.html"
+
+
+def generate_pages(
+    n_pages: int = 2000, n_hosts: int = 20, seed: int = 42
+) -> tuple[pd.DataFrame, pd.DataFrame, pd.DataFrame]:
+    """Returns (pages, seeds, robots) as pandas frames.
+
+    Host 0 is the heavy host (~30% of pages); the rest split evenly.
+    Page j of a host links to its tree children (j*B+1..j*B+B), a few
+    cross-host pages, and sometimes a query-variant of a child URL.
+    """
+    rng = random.Random(seed)
+    # distinct registered domains (host-NNN.org) so per-host politeness,
+    # budgets and skew salting actually discriminate between hosts
+    hosts = [f"www.host-{i:03d}.org" for i in range(n_hosts)]
+    heavy = max(1, int(n_pages * 0.3))
+    rest = (n_pages - heavy) // max(1, n_hosts - 1)
+    host_sizes = [heavy] + [rest] * (n_hosts - 1)
+
+    rows = []
+    for hi, (host, n) in enumerate(zip(hosts, host_sizes)):
+        for j in range(n):
+            url = _page_url(host, j)
+            links = []
+            for c in range(j * BRANCHING + 1, j * BRANCHING + 1 + BRANCHING):
+                if c < n:
+                    links.append(_page_url(host, c))
+            # query-variant duplicate of the first child (canonicalization)
+            if links and j % 6 == 2:
+                links.append(links[0] + "?service=WMS&request=GetCapabilities")
+            # cross-host links
+            for _ in range(rng.randint(0, 2)):
+                th = rng.randrange(n_hosts)
+                tj = rng.randrange(max(1, host_sizes[th]))
+                links.append(_page_url(hosts[th], tj))
+            body_words = " ".join(
+                rng.choice(WORDS) for _ in range(rng.randint(20, 80))
+            )
+            island = ""
+            if j % 10 == 3:
+                island = _iso_island(host, j)
+            elif j % 10 == 7:
+                island = _dc_block(host, j)
+            anchor_html = "".join(
+                f'<a href="{l}">link {i}</a> ' for i, l in enumerate(links)
+            )
+            html = (
+                f"<html><head><title>Page {j} of {host}</title>"
+                "<script>var tracked = 1;</script></head>"
+                "<!-- generated fixture -->"
+                f"<body><h1>Page {j}</h1><p>{body_words}</p>"
+                f"{island}{anchor_html}"
+                "<style>p { color: black }</style></body></html>"
+            ).encode("utf-8")
+            ts = T0 + timedelta(seconds=(hi * 7919 + j * 13) % 2_000_000)
+            rows.append(
+                {
+                    "url": url,
+                    "warc_ts": ts,
+                    "html": html,
+                    "text": extract_text_py(html),
+                    "lang": rng.choice(["eng", "spa", "deu", "fra"]),
+                }
+            )
+
+    pages = pd.DataFrame(rows)
+    seeds = pd.DataFrame(
+        {"url": [f"https://{h}/page-0.html" for h in hosts], "depth": 0}
+    )
+    robots_rows = []
+    for i, h in enumerate(hosts):
+        robots_rows.append(
+            {
+                "registered_domain": f"host-{i:03d}.org",
+                "skip_pattern": r"tmp-page" if i % 2 == 0 else None,
+                "no_recurse_prefix": f"https://{h}/sub/" if i % 3 == 2 else None,
+                "crawl_delay": 0.0,
+                "max_pages": None,
+            }
+        )
+    robots = pd.DataFrame(robots_rows).astype({"max_pages": "Int64"})
+    return pages, seeds, robots
+
+
+def load_pages(
+    spark: SparkSession, n_pages: int = 2000, n_hosts: int = 20, seed: int = 42
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    pages_pd, seeds_pd, robots_pd = generate_pages(n_pages, n_hosts, seed)
+    pages = spark.createDataFrame(
+        pages_pd,
+        schema="url string, warc_ts timestamp, html binary, text string, lang string",
+    )
+    seeds = spark.createDataFrame(seeds_pd, schema="url string, depth int")
+    robots = spark.createDataFrame(
+        robots_pd.astype(object).where(robots_pd.notna(), None),
+        schema=(
+            "registered_domain string, skip_pattern string, "
+            "no_recurse_prefix string, crawl_delay double, max_pages int"
+        ),
+    )
+    return pages, seeds, robots

@@ -1,0 +1,104 @@
+"""Text-analysis column functions for training-data pipelines:
+language ID, quality scoring, token counting, document fingerprinting.
+
+All pure Column expressions (JVM-side, whole-stage-codegen'd) with exact
+DuckDB-SQL twins so the driver oracle can value-hash them. No UDFs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+import pyspark.sql.functions as F
+
+from pygeodatacrawler_spark.functions.hashes import md5_long
+
+# Tiny per-language stopword inventories for the n-gram/stopword
+# heuristic language classifier. Order = deterministic tie-break order.
+STOPWORDS = {
+    "en": ["the", "and", "of", "to", "in", "is"],
+    "es": ["el", "la", "de", "que", "los", "las"],
+    "de": ["der", "die", "das", "und", "ist", "nicht"],
+    "fr": ["le", "les", "des", "et", "est", "une"],
+}
+
+PUNCT_RE = r"[^\w\s]"
+
+
+def tokens(text: Column) -> Column:
+    """Whitespace tokenization; empty string -> empty array."""
+    return F.filter(F.split(F.trim(text), r"\s+"), lambda x: x != "")
+
+
+def token_count(text: Column) -> Column:
+    return F.size(tokens(text))
+
+
+def stopword_count(text: Column, lang: str) -> Column:
+    words = STOPWORDS[lang]
+    return F.size(F.filter(tokens(text), lambda x: F.lower(x).isin(words)))
+
+
+def lang_id(text: Column) -> Column:
+    """Argmax of per-language stopword hit counts, tie-break en>es>de>fr."""
+    en = stopword_count(text, "en")
+    es = stopword_count(text, "es")
+    de = stopword_count(text, "de")
+    fr = stopword_count(text, "fr")
+    return (
+        F.when((en >= es) & (en >= de) & (en >= fr), F.lit("en"))
+        .when((es >= de) & (es >= fr), F.lit("es"))
+        .when(de >= fr, F.lit("de"))
+        .otherwise(F.lit("fr"))
+    )
+
+
+def punct_ratio(text: Column) -> Column:
+    n = F.length(text)
+    return F.when(n == 0, F.lit(0.0)).otherwise(
+        F.size(F.regexp_extract_all(text, F.lit(PUNCT_RE), 0)) / n.cast("double")
+    )
+
+
+def stopword_ratio(text: Column) -> Column:
+    nt = token_count(text)
+    return F.when(nt == 0, F.lit(0.0)).otherwise(
+        stopword_count(text, "en") / nt.cast("double")
+    )
+
+
+def quality_score(text: Column) -> Column:
+    """Composite [0,1] quality heuristic: length, stopwords, punctuation.
+
+    Mirrors the shape of published web-text quality filters (length &
+    symbol ratios a la C4/Gopher rules) without any model dependency.
+    """
+    length_term = F.least(F.lit(1.0), F.length(text) / F.lit(500.0))
+    return F.round(
+        F.lit(0.3) * length_term
+        + F.lit(0.4) * F.least(F.lit(1.0), F.lit(4.0) * stopword_ratio(text))
+        + F.lit(0.3) * (F.lit(1.0) - F.least(F.lit(1.0), F.lit(4.0) * punct_ratio(text))),
+        4,
+    )
+
+
+def word_ngrams(text: Column, n: int) -> Column:
+    """Array of space-joined word n-grams (shingles)."""
+    toks = tokens(text)
+    grams = F.transform(
+        F.sequence(F.lit(0), F.size(toks) - n),
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(toks, (i + j + 1).cast("int")) for j in range(n)]
+        ),
+    )
+    # sequence(0, k) with k<0 counts DOWN — guard short texts explicitly
+    return F.when(F.size(toks) < n, F.array().cast("array<string>")).otherwise(grams)
+
+
+def fingerprint(text: Column, n: int = 3) -> Column:
+    """Rolling-hash document fingerprint: min md5-hash over word n-grams.
+
+    A 1-permutation MinHash — stable under token reordering-free edits,
+    portable to the SQL oracle via md5_long.
+    """
+    grams = word_ngrams(text, n)
+    return F.array_min(F.transform(grams, lambda g: md5_long(g)))

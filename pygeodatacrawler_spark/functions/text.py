@@ -1,0 +1,133 @@
+"""Text and link extraction from raw HTML bytes.
+
+This is the rebuild of the reference's per-file parse loop
+(/root/reference/geodatacrawler/utils.py:26-180 ``indexFile``): one pure,
+versioned extraction function over the ``html`` binary column, exposed
+two ways with byte-identical results:
+
+- ``extract_text_py`` / ``extract_links_py`` — plain Python, used by the
+  sequential oracle and the fixture generator;
+- ``extract_text_udf`` / ``extract_links_udf`` — Arrow-batched pandas
+  UDFs wrapping the same functions, used in the distributed crawl.
+
+Byte-identity per url is the BASELINE.json per-row invariant; the pytest
+suite compares sha2 of both sides row by row. Determinism rules: bytes
+in, utf-8 with replacement out, no locale, no library version drift
+(stdlib only).
+"""
+
+from __future__ import annotations
+
+import html as _htmllib
+import re
+from collections.abc import Iterator
+from urllib.parse import urljoin
+
+import pandas as pd
+from pyspark.sql import Column
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import ArrayType, StringType
+
+EXTRACTOR_VERSION = 1
+
+_COMMENT_RE = re.compile(rb"(?s)<!--.*?-->")
+_SCRIPT_STYLE_RE = re.compile(rb"(?is)<(script|style)\b[^>]*>.*?</\1\s*>")
+_TAG_RE = re.compile(rb"(?s)<[^>]*>")
+_WS_RE = re.compile(r"\s+")
+_HREF_RE = re.compile(rb"""(?is)<a\s[^>]*?href\s*=\s*["']([^"']+)["']""")
+
+
+def extract_text_py(html: bytes | None) -> str | None:
+    """Visible text of an HTML payload; pure function of the bytes."""
+    if html is None:
+        return None
+    s = _COMMENT_RE.sub(b" ", html)
+    s = _SCRIPT_STYLE_RE.sub(b" ", s)
+    s = _TAG_RE.sub(b" ", s)
+    txt = s.decode("utf-8", errors="replace")
+    txt = _htmllib.unescape(txt)
+    return _WS_RE.sub(" ", txt).strip()
+
+
+def extract_links_py(html: bytes | None, base_url: str | None) -> list[str]:
+    """Absolute http(s) hrefs, document order, first occurrence wins."""
+    if html is None or base_url is None:
+        return []
+    out: list[str] = []
+    seen: set[str] = set()
+    for m in _HREF_RE.finditer(html):
+        raw = m.group(1).decode("utf-8", errors="replace").strip()
+        if not raw or raw.startswith(("javascript:", "mailto:", "data:")):
+            continue
+        absu = urljoin(base_url, raw)
+        if not absu.startswith(("http://", "https://")):
+            continue
+        if absu not in seen:
+            seen.add(absu)
+            out.append(absu)
+    return out
+
+
+@pandas_udf(StringType())
+def extract_text_udf(html: pd.Series) -> pd.Series:
+    return html.map(extract_text_py)
+
+
+@pandas_udf(ArrayType(StringType()))
+def extract_links_udf(html: pd.Series, base_url: pd.Series) -> pd.Series:
+    return pd.Series(
+        [extract_links_py(h, u) for h, u in zip(html, base_url)], dtype=object
+    )
+
+
+def extract_pages_batches(
+    pdf_iter: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    """mapInPandas body: (url, html) -> (url, text, links, n_bytes).
+
+    One Arrow round-trip for both extractions (cheaper than two scalar
+    UDFs when both columns are needed, which is every crawl round).
+    """
+    for pdf in pdf_iter:
+        yield pd.DataFrame(
+            {
+                "url": pdf["url"],
+                "text": pdf["html"].map(extract_text_py),
+                "links": [
+                    extract_links_py(h, u) for h, u in zip(pdf["html"], pdf["url"])
+                ],
+                "n_bytes": pdf["html"].map(lambda b: 0 if b is None else len(b)),
+            }
+        )
+
+
+# schema for extract_pages_batches, importable by the crawl plan
+EXTRACT_SCHEMA = (
+    "url string, text string, links array<string>, n_bytes long"
+)
+
+
+def stub_decode_media(payload: bytes, media_type: str) -> dict:
+    """Placeholder for image/audio/video decode (libs absent in sandbox).
+
+    The Spark-side plumbing (binary column in, typed struct out, batch
+    shape) is real and tested via the deterministic fake below; a real
+    deployment replaces the body with PIL/ffmpeg calls.
+    """
+    raise NotImplementedError(
+        "media decode requires imaging/audio libraries not present in this "
+        "environment; use fake_decode_media for plumbing tests"
+    )
+
+
+def fake_decode_media(payload: bytes | None, media_type: str) -> dict:
+    """Deterministic fake decode: derives metadata purely from the bytes."""
+    if payload is None:
+        return {"media_type": media_type, "n_bytes": 0, "width": None, "height": None}
+    n = len(payload)
+    return {
+        "media_type": media_type,
+        "n_bytes": n,
+        "width": (n % 640) + 1,
+        "height": (n % 480) + 1,
+    }

@@ -1,0 +1,195 @@
+"""Deduplication operators for web-scale text corpora.
+
+The reference's dedup is "does the sidecar file exist"
+(/root/reference/geodatacrawler/metadata.py:430). At 100 TB that becomes
+a family of operators, each shuffle-conscious:
+
+- exact: hash-groupBy on content hash — one shuffle, map-side partial agg.
+- MinHash + LSH: shingle -> K permuted min-hashes -> band buckets ->
+  bucket equi-join. The join is on (band, band_hash) so only candidate
+  pairs shuffle; no O(n^2) cross join ever materializes.
+- SimHash: 64-bit signature; near-dup = same signature prefix bucket +
+  small hamming distance (block-permutation trick collapsed to one
+  prefix bucket at our scale; extend to 4 rotations for hamming<=3 at
+  full scale).
+- n-gram Jaccard: exact verification of candidate pairs (shared-shingle
+  co-occurrence counts), used after LSH to kill false positives.
+
+All hash math uses md5_long (portable) so the driver's DuckDB oracle can
+verify results value-for-value.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+import pyspark.sql.functions as F
+
+from pygeodatacrawler_spark.functions.hashes import (
+    md5_long,
+    minhash_params,
+    minhash_perm,
+)
+from pygeodatacrawler_spark.functions.quality import tokens, word_ngrams
+
+
+def dedup_exact(df: DataFrame, content_col: str, id_col: str) -> DataFrame:
+    """Keep the lowest-id row per distinct content value.
+
+    Window-per-hash rather than dropDuplicates: dropDuplicates keeps an
+    *arbitrary* row (first seen per partition), which is not stable
+    across parallelism levels; min-id is deterministic at any cluster
+    size. One shuffle on the content hash.
+    """
+    w = Window.partitionBy(F.md5(F.col(content_col))).orderBy(F.col(id_col))
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+def minhash_signature(
+    df: DataFrame, id_col: str, text_col: str, k: int = 16, shingle_n: int = 3
+) -> DataFrame:
+    """(id, sig array<long>) — K-permutation MinHash over word shingles.
+
+    Implemented as a flat aggregation: explode shingles once, take
+    min((a_i*h+b_i) mod p) per permutation in a single groupBy — K mins
+    computed map-side, one shuffle total, no K-fold re-scan.
+    """
+    params = minhash_params(k)
+    grams = df.select(
+        F.col(id_col), F.explode(word_ngrams(F.col(text_col), shingle_n)).alias("g")
+    ).withColumn("h", md5_long(F.col("g")))
+    aggs = [
+        F.min(minhash_perm(F.col("h"), a, b)).alias(f"mh{i}")
+        for i, (a, b) in enumerate(params)
+    ]
+    return grams.groupBy(id_col).agg(*aggs)
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Candidate near-dup pairs (id_a < id_b) via banded LSH.
+
+    rows-per-band = k/bands; two docs collide if any band's minhash
+    vector matches exactly. The band join shuffles only (band, hash)
+    keys — the classic MMDS ch.3 construction.
+    """
+    assert k % bands == 0
+    rows = k // bands
+    sig = minhash_signature(df, id_col, text_col, k, shingle_n)
+    band_cols = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.md5(
+                F.concat_ws(
+                    ",", *[F.col(f"mh{b * rows + r}") for r in range(rows)]
+                )
+            ).alias("bh"),
+        )
+        for b in range(bands)
+    ]
+    banded = sig.select(
+        F.col(id_col), F.explode(F.array(*band_cols)).alias("bb")
+    ).select(id_col, "bb.band", "bb.bh")
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col(f"a.band") == F.col(f"b.band"))
+            & (F.col(f"a.bh") == F.col(f"b.bh"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .distinct()
+    )
+
+
+def simhash64(text: Column, prefix_bits: int = 16) -> Column:
+    """SimHash signature over word tokens, restricted to prefix_bits bits.
+
+    Weighted-bit-vote construction (Charikar 2002): each token votes
+    +1/-1 per bit of its hash; signature bit = sign of the sum. Kept to
+    16 bits here so the whole computation stays in portable integer SQL
+    (the oracle reproduces it exactly); production uses 64.
+    """
+    toks = tokens(text)
+    hashes = F.transform(toks, lambda t: md5_long(t))
+    bit_votes = [
+        F.aggregate(
+            hashes,
+            F.lit(0).cast("long"),
+            lambda acc, h: acc
+            + F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1),
+        )
+        for i in range(prefix_bits)
+    ]
+    sig = F.lit(0).cast("long")
+    for i, v in enumerate(bit_votes):
+        sig = sig + F.when(v > 0, F.lit(1 << i)).otherwise(F.lit(0))
+    return sig
+
+
+def simhash_buckets(
+    df: DataFrame, id_col: str, text_col: str, prefix_bits: int = 16
+) -> DataFrame:
+    """(id, simhash) — group by signature to find near-dup clusters."""
+    return df.select(
+        F.col(id_col), simhash64(F.col(text_col), prefix_bits).alias("simhash")
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_n: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity for pairs sharing >=1 shingle.
+
+    |A∩B| comes from a self-join on distinct shingles (co-occurrence
+    count); |A∪B| = |A|+|B|-|A∩B|. Only docs sharing a shingle ever
+    pair up, so the shuffle is bounded by shingle collisions, not n^2.
+    At 100 TB this runs AFTER LSH on candidates only; standalone it is
+    exact-but-heavier.
+    """
+    grams = (
+        df.select(
+            F.col(id_col).alias("id"),
+            F.explode(F.array_distinct(word_ngrams(F.col(text_col), shingle_n))).alias(
+                "g"
+            ),
+        )
+    )
+    sizes = grams.groupBy("id").agg(F.count("*").alias("n"))
+    inter = (
+        grams.alias("x")
+        .join(grams.alias("y"), (F.col("x.g") == F.col("y.g")) & (F.col("x.id") < F.col("y.id")))
+        .groupBy(F.col("x.id").alias("id_a"), F.col("y.id").alias("id_b"))
+        .agg(F.count("*").alias("n_inter"))
+    )
+    return (
+        inter.join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("n", "n_a"), "id_a")
+        .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("n", "n_b"), "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_inter")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_inter")).cast("double"),
+                4,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )

@@ -1,0 +1,103 @@
+"""Politeness scheduler: pick each round's fetch batch from the frontier.
+
+Re-expresses the reference's traversal discipline (DFS with
+skip-subfolders/skip-files regexes and harvest caps,
+/root/reference/geodatacrawler/metadata.py:104-121, utils.py:355-357)
+as declarative DataFrame ops over the frontier table:
+
+1. policy filter — broadcast-join the robots table on registered_domain,
+   drop URLs matching skip_pattern / under a no_recurse_prefix;
+2. priority rank — row_number per registered_domain ordered by
+   (depth, discovery_ts, canon_url): the (depth, host-budget,
+   discovery_ts) priority queue of the north rule, with the canon_url
+   tie-break that makes runs and resumes deterministic;
+3. budget cap — rank <= per-host batch budget (token bucket);
+4. skew salting — hosts whose pending count exceeds a heavy-hitter
+   threshold get a salt column so the fetch stage's partitions stay
+   balanced (AQE rebalances joins, not this sink-side batch skew).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+import pyspark.sql.functions as F
+
+DEFAULT_HOST_BUDGET = 100
+
+
+def apply_robots(frontier: DataFrame, robots: DataFrame) -> DataFrame:
+    """Filter the frontier by per-domain politeness rules.
+
+    robots(registered_domain, skip_pattern, no_recurse_prefix,
+    crawl_delay, max_pages) is small (one row per domain) -> broadcast.
+    A NULL rule never filters (hosts without rules are unrestricted).
+    """
+    f = frontier.join(F.broadcast(robots), "registered_domain", "left")
+    # rules test the CANONICAL url on both engine and oracle sides — the
+    # raw link text can differ per discoverer for one canonical URL
+    keep = (
+        (F.col("skip_pattern").isNull() | ~F.expr("canon_url rlike skip_pattern"))
+        & (
+            F.col("no_recurse_prefix").isNull()
+            | ~F.col("canon_url").startswith(F.col("no_recurse_prefix"))
+        )
+    )
+    return f.filter(keep).drop("skip_pattern", "no_recurse_prefix")
+
+
+def pick_batch(
+    frontier: DataFrame,
+    robots: DataFrame | None = None,
+    host_budget: int = DEFAULT_HOST_BUDGET,
+) -> DataFrame:
+    """One round's fetch batch: politeness-filtered, priority-ranked,
+    budget-capped per registered_domain.
+
+    Expects frontier columns (url, canon_url, registered_domain, depth,
+    discovery_ts). Adds ``host_rank``. Uses a window (one shuffle on
+    registered_domain); the host cap bounds any single host's
+    contribution, so post-filter partitions are naturally de-skewed.
+    """
+    f = frontier
+    budget_col = F.lit(host_budget)
+    if robots is not None:
+        f = apply_robots(f, robots)
+        budget_col = F.least(
+            F.coalesce(F.col("max_pages"), F.lit(host_budget)), F.lit(host_budget)
+        )
+    w = Window.partitionBy("registered_domain").orderBy(
+        "depth", "discovery_ts", "canon_url"
+    )
+    return (
+        f.withColumn("_budget", budget_col)
+        .withColumn("host_rank", F.row_number().over(w))
+        .filter(F.col("host_rank") <= F.col("_budget"))
+        .drop("_budget", "max_pages", "crawl_delay")
+    )
+
+
+def salt_heavy_hosts(
+    batch: DataFrame,
+    salt_buckets: int = 8,
+    heavy_threshold: int = 1000,
+) -> DataFrame:
+    """Add a salt column that splits heavy hosts across partitions.
+
+    Heavy hosts (pending rows > threshold) are found with one cheap
+    aggregation; everyone else keeps salt=0 so small hosts stay
+    co-located (one partition per host preserves politeness locality).
+    Repartition on (registered_domain, salt) before the fetch UDF.
+    """
+    counts = batch.groupBy("registered_domain").agg(F.count("*").alias("_n"))
+    salted = (
+        batch.join(F.broadcast(counts), "registered_domain")
+        .withColumn(
+            "salt",
+            F.when(
+                F.col("_n") > heavy_threshold,
+                F.pmod(F.xxhash64("canon_url"), F.lit(salt_buckets)).cast("int"),
+            ).otherwise(F.lit(0)),
+        )
+        .drop("_n")
+    )
+    return salted.repartition("registered_domain", "salt")

@@ -1,0 +1,157 @@
+"""Similarity search over embedding columns (array<float>).
+
+- brute-force cosine top-k: broadcast the (small) query set against the
+  corpus; dot products via zip_with/aggregate — stays JVM-side, no UDF.
+  At 100 TB the corpus side is the big side and never shuffles: the
+  broadcast join is a map-only stage, then one shuffle for the per-query
+  top-k window (or RANK <= k via AQE-coalesced partitions).
+- LSH-bucketed ANN: random-hyperplane signs (deterministic planes from
+  md5 of (plane, dim)) bucket the corpus once; queries probe only their
+  bucket — the scale path that avoids scanning all vectors per query.
+
+Embedding-cosine near-dup dedup reuses the same primitives.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+import pyspark.sql.functions as F
+
+
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def l2_norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v)
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (l2_norm(a) * l2_norm(b))
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+) -> DataFrame:
+    """Top-k cosine neighbors per query vector (excluding self).
+
+    Returns (query_id, neighbor_id, cos_sim, rank). Query side is
+    broadcast; ties broken deterministically on neighbor id so results
+    are stable at any parallelism.
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("qv"),
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).cast("array<double>").alias("cv"),
+    )
+    scored = (
+        c.join(F.broadcast(q), F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("cos_sim", F.round(cosine(F.col("qv"), F.col("cv")), 4))
+        .select("query_id", "neighbor_id", "cos_sim")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def _plane_component(plane: int, dim: int) -> Column:
+    """Deterministic ±1 hyperplane component from md5(plane:dim)."""
+    h = F.conv(F.substring(F.md5(F.lit(f"plane{plane}:{dim}")), 1, 4), 16, 10).cast(
+        "long"
+    )
+    return F.when(h.bitwiseAND(F.lit(1)) == 1, F.lit(1.0)).otherwise(F.lit(-1.0))
+
+
+def lsh_bucket(vec: Column, n_planes: int, n_dims: int) -> Column:
+    """Random-hyperplane LSH bucket id: sign pattern of n_planes dots."""
+    bucket = F.lit(0)
+    for p in range(n_planes):
+        plane = F.array(*[_plane_component(p, d) for d in range(n_dims)])
+        s = dot(vec.cast("array<double>"), plane)
+        bucket = bucket + F.when(s > 0, F.lit(1 << p)).otherwise(F.lit(0))
+    return bucket
+
+
+def lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_planes: int = 4,
+    n_dims: int = 64,
+) -> DataFrame:
+    """ANN top-k restricted to the query's LSH bucket (approximate).
+
+    At scale the corpus bucketing is computed once and written
+    partitioned by bucket, so each query probes one partition —
+    partition pruning does the candidate selection.
+    """
+    cb = corpus.withColumn("bucket", lsh_bucket(F.col(vec_col), n_planes, n_dims))
+    qb = queries.withColumn("bucket", lsh_bucket(F.col(vec_col), n_planes, n_dims))
+    q = qb.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("qv"),
+        "bucket",
+    )
+    c = cb.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).cast("array<double>").alias("cv"),
+        "bucket",
+    )
+    scored = (
+        c.join(F.broadcast(q), ["bucket"])
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("cos_sim", F.round(cosine(F.col("qv"), F.col("cv")), 4))
+        .select("query_id", "neighbor_id", "cos_sim")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id")
+    )
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def embedding_near_dupes(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    n_planes: int = 4,
+    n_dims: int = 64,
+) -> DataFrame:
+    """Near-duplicate pairs by embedding cosine >= threshold.
+
+    LSH-bucketed self-join: pairs only form inside a bucket, so the
+    shuffle is per-bucket, never the full cross product.
+    """
+    b = df.withColumn("bucket", lsh_bucket(F.col(vec_col), n_planes, n_dims)).select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).cast("array<double>").alias("v"),
+        "bucket",
+    )
+    pairs = (
+        b.alias("x")
+        .join(b.alias("y"), (F.col("x.bucket") == F.col("y.bucket")) & (F.col("x.id") < F.col("y.id")))
+        .withColumn("cos_sim", F.round(cosine(F.col("x.v"), F.col("y.v")), 4))
+        .filter(F.col("cos_sim") >= threshold)
+    )
+    return pairs.select(
+        F.col("x.id").alias("id_a"), F.col("y.id").alias("id_b"), "cos_sim"
+    )

@@ -1,0 +1,84 @@
+"""SparkSession factory tuned for the crawl workload.
+
+The same builder is used by tests (local[*]), bench.py (local[N] at two
+parallelism levels for the scaling-efficiency protocol) and, unchanged,
+by ``spark-submit --py-files`` on a real cluster — only ``master`` and
+the shuffle-partition count move.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "pygeodatacrawler-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build a SparkSession with AQE, Arrow, and skew handling enabled.
+
+    ``shuffle_partitions`` defaults to 2x the core count of the master —
+    small enough to avoid tiny-task overhead at sandbox scale, and AQE
+    coalesces further at runtime; on a real cluster it should be sized to
+    executors*cores*2-3 (AQE's ``coalescePartitions`` makes over-provision
+    cheap, under-provision is what hurts).
+    """
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    if master is None:
+        master = f"local[{cpus}]"
+    if shuffle_partitions is None:
+        # local[N] / local[*]
+        n = master[master.find("[") + 1 : master.find("]")] if "[" in master else "4"
+        cores = os.cpu_count() if n == "*" else int(n)
+        shuffle_partitions = max(8, 2 * (cores or 4))
+
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    _ship_package(spark)
+    return spark
+
+
+def _ship_package(spark: SparkSession) -> None:
+    """Ship this package to executors (the --py-files step, automated).
+
+    Pandas UDFs pickle module-level functions by reference; executor
+    Python workers must be able to import the package. spark-submit
+    users pass --py-files; for everyone else (notebooks, pytest from
+    another cwd) we zip the package once and addPyFile it.
+    """
+    import shutil
+    import tempfile
+
+    pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    base = os.path.join(
+        tempfile.gettempdir(), f"pygeodatacrawler_spark_ship_{os.getpid()}"
+    )
+    zip_path = base + ".zip"
+    if not os.path.exists(zip_path):
+        staging = base + "_stage"
+        target = os.path.join(staging, "pygeodatacrawler_spark")
+        shutil.rmtree(staging, ignore_errors=True)
+        shutil.copytree(pkg_dir, target, ignore=shutil.ignore_patterns("__pycache__"))
+        shutil.make_archive(base, "zip", staging)
+        shutil.rmtree(staging, ignore_errors=True)
+    spark.sparkContext.addPyFile(zip_path)

@@ -1,0 +1,76 @@
+"""Column exprs and their *_py twins must agree byte-for-byte."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from pygeodatacrawler_spark.functions.urls import (
+    canonicalize_url,
+    canonicalize_url_py,
+    registered_domain,
+    registered_domain_py,
+    safe_filename,
+    safe_filename_py,
+    url_depth,
+    url_depth_py,
+)
+
+URLS = [
+    "https://www.host-001.org/page-3.html",
+    "HTTPS://WWW.Host-001.ORG/page-3.html",
+    "https://www.host-001.org/page-3.html?service=WMS&request=GetCapabilities",
+    "https://www.host-001.org/page-3.html?map=x&SERVICE=wms&keep=1",
+    "https://www.host-001.org/page-3.html#frag",
+    "https://www.host-001.org",
+    "https://www.host-001.org?request=GetCapabilities",
+    "http://a.b.example.org/x/y/z.html?layers=a,b&version=1.3.0",
+    "https://www.host-001.org/sub/page-5.html?exceptions=xml",
+]
+
+
+def test_canonicalize_parity(spark):
+    df = spark.createDataFrame([(u,) for u in URLS], "url string")
+    got = [
+        r["c"]
+        for r in df.select(canonicalize_url(F.col("url")).alias("c")).collect()
+    ]
+    want = [canonicalize_url_py(u) for u in URLS]
+    assert got == want
+
+
+def test_canonicalize_semantics():
+    assert (
+        canonicalize_url_py(
+            "https://H.org/p.html?service=WMS&map=x&request=GetCap#f"
+        )
+        == "https://h.org/p.html?map=x"
+    )
+    assert canonicalize_url_py("https://H.org") == "https://h.org/"
+    assert canonicalize_url_py("https://H.org?request=x") == "https://h.org/"
+
+
+def test_registered_domain_parity(spark):
+    df = spark.createDataFrame([(u,) for u in URLS], "url string")
+    got = [
+        r["d"]
+        for r in df.select(registered_domain(F.col("url")).alias("d")).collect()
+    ]
+    want = [registered_domain_py(u) for u in URLS]
+    assert got == want
+    assert registered_domain_py("https://a.b.example.org/x") == "example.org"
+
+
+def test_url_depth_parity(spark):
+    df = spark.createDataFrame([(u,) for u in URLS], "url string")
+    got = [r["d"] for r in df.select(url_depth(F.col("url")).alias("d")).collect()]
+    want = [url_depth_py(u) for u in URLS]
+    assert got == want
+
+
+def test_safe_filename_parity(spark):
+    names = ["a b(c)/d:e;f,g[h]~i#j", "plain", "x+y\\z%"]
+    df = spark.createDataFrame([(n,) for n in names], "n string")
+    got = [r["s"] for r in df.select(safe_filename(F.col("n")).alias("s")).collect()]
+    want = [safe_filename_py(n) for n in names]
+    assert got == want
+    assert safe_filename_py("a b(c)") == "a-bc"  # "()" deleted, " " -> "-"
