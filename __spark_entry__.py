@@ -1,38 +1,55 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship corpus-indexing query on sf0.001;
+``queries()``/``oracle_sql()`` expose one DuckDB-oracled query per
+implemented operator family (SURVEY.md §2) from
+pygeodatacrawler_spark.entry_queries.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pygeodatacrawler_spark.entry_queries import (  # noqa: E402
+    all_oracle_sql,
+    all_queries,
+)
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: index the sf0.001 documents corpus — language-ID,
+    quality score, token count, fingerprint, and exact-dup rank in one
+    pass (the per-resource 'indexFile' of the reference, vectorized)."""
+    import pyspark.sql.functions as F
+
+    from pygeodatacrawler_spark.functions.quality import (
+        fingerprint,
+        lang_id,
+        quality_score,
+        token_count,
+    )
+
+    sf_dir = "/root/testdata/sf0.001"
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return docs.select(
+        "doc_id",
+        "source",
+        token_count(F.col("text")).alias("token_cnt"),
+        lang_id(F.col("text")).alias("lang_pred"),
+        quality_score(F.col("text")).alias("q_score"),
+        fingerprint(F.col("text"), 3).alias("fp"),
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return all_queries()
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return all_oracle_sql()

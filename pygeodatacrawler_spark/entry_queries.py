@@ -1,0 +1,868 @@
+"""Driver-contract queries: one entry per implemented operator family
+(SURVEY.md §2), each with a DuckDB-oracle SQL twin.
+
+Conventions that make the driver's comparison (row-count + schema +
+order-insensitive value hash) deterministic:
+- every computed column is aliased IDENTICALLY in Spark and SQL;
+- money/float aggregates are rounded (2-4 dp) so IEEE summation-order
+  drift can't flip the hash;
+- every window/top-k has a total tie-break (id column);
+- all hash-derived operators use the md5-based 60-bit hash, identical
+  on both engines (functions/hashes.py).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+import pyspark.sql.functions as F
+
+from pygeodatacrawler_spark.functions.hashes import (
+    MINHASH_PRIME,
+    md5_long,
+    minhash_params,
+)
+from pygeodatacrawler_spark.functions.quality import (
+    STOPWORDS,
+    lang_id,
+    punct_ratio,
+    quality_score,
+    stopword_ratio,
+    token_count,
+    tokens,
+    word_ngrams,
+)
+from pygeodatacrawler_spark.functions.urls import (
+    canonicalize_url,
+    registered_domain,
+    safe_filename,
+    url_depth,
+)
+from pygeodatacrawler_spark.operators.dedup import (
+    dedup_exact,
+    minhash_lsh_pairs,
+    minhash_signature,
+    ngram_jaccard_pairs,
+    simhash_buckets,
+)
+from pygeodatacrawler_spark.operators.similarity import (
+    brute_force_topk,
+    embedding_near_dupes,
+    lsh_topk,
+)
+from pygeodatacrawler_spark.operators.windows import (
+    first_match_wins,
+    sessionize,
+    token_budget,
+    topk_per_group,
+)
+
+P = MINHASH_PRIME
+
+# ---------------------------------------------------------------- SQL helpers
+# DuckDB fragments mirrored against the Column functions they twin.
+SQL_TOKS = "list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x <> '')"
+SQL_MD5 = "(('0x' || substring(md5({e}), 1, 15))::BIGINT)"
+
+
+def _sql_grams(n: int) -> str:
+    """3-gram (or n-gram) table fragment over documents -> (doc_id, g)."""
+    parts = ", ".join(f"s[i+{j + 1}]" for j in range(n))
+    return (
+        f"with toks as (select doc_id, {SQL_TOKS} as s from documents), "
+        f"grams as (select doc_id, concat_ws(' ', {parts}) as g "
+        f"from toks, unnest(range(greatest(len(s)-{n - 1}, 0))) as t(i))"
+    )
+
+
+def _table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# =====================================================================
+# aggregations (SURVEY §2.4)
+# =====================================================================
+def q_pricing_summary(spark, sf_dir):
+    li = _table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= "1999-06-30")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+SQL_PRICING = """
+select l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2) as sum_qty,
+       round(sum(l_extendedprice), 2) as sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) as sum_disc_price,
+       round(avg(l_quantity), 4) as avg_qty,
+       round(avg(l_extendedprice), 4) as avg_price,
+       count(*) as count_order
+from lineitem where l_shipdate <= timestamp '1999-06-30'
+group by l_returnflag, l_linestatus
+"""
+
+
+def q_minmax_by_group(spark, sf_dir):
+    # A1 bbox-union analog: min/max accumulation per group (mapfile.py:486-495)
+    return (
+        _table(spark, sf_dir, "part")
+        .groupBy("p_brand")
+        .agg(
+            F.min("p_size").alias("min_size"),
+            F.max("p_size").alias("max_size"),
+            F.round(F.min("p_retailprice"), 2).alias("min_price"),
+            F.round(F.max("p_retailprice"), 2).alias("max_price"),
+            F.count("*").alias("n"),
+        )
+    )
+
+
+SQL_MINMAX = """
+select p_brand, min(p_size) as min_size, max(p_size) as max_size,
+       round(min(p_retailprice), 2) as min_price,
+       round(max(p_retailprice), 2) as max_price, count(*) as n
+from part group by p_brand
+"""
+
+
+def q_keyword_collect(spark, sf_dir):
+    # A3: flatten+dedupe keyword lists -> comma-joined (mapfile.py:80-87)
+    return (
+        _table(spark, sf_dir, "documents")
+        .groupBy("source")
+        .agg(
+            F.array_join(F.array_sort(F.collect_set("lang")), ",").alias("langs"),
+            F.count("*").alias("n_docs"),
+        )
+    )
+
+
+SQL_KEYWORD_COLLECT = """
+select source, string_agg(distinct lang, ',' order by lang) as langs,
+       count(*) as n_docs
+from documents group by source
+"""
+
+
+def q_histogram(spark, sf_dir):
+    # C7 colorCoding: equal-width classes over [min,max] (mapfile.py:386-442)
+    ev = _table(spark, sf_dir, "events")
+    bounds = ev.agg(
+        F.min("value").alias("mn"), F.max("value").alias("mx")
+    )
+    return (
+        ev.crossJoin(F.broadcast(bounds))
+        .withColumn(
+            "bucket",
+            F.least(
+                F.floor((F.col("value") - F.col("mn")) / ((F.col("mx") - F.col("mn")) / 10)),
+                F.lit(9),
+            ).cast("long"),
+        )
+        .groupBy("bucket")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+SQL_HISTOGRAM = """
+with b as (select min(value) as mn, max(value) as mx from events)
+select least(floor((value - mn) / ((mx - mn) / 10)), 9)::BIGINT as bucket,
+       count(*) as n
+from events, b group by 1
+"""
+
+
+# =====================================================================
+# joins (SURVEY §2.3)
+# =====================================================================
+def q_market_share(spark, sf_dir):
+    # J4/J5 broadcast dims: orders x customer x nation x region
+    o = _table(spark, sf_dir, "orders")
+    c = _table(spark, sf_dir, "customer")
+    n = _table(spark, sf_dir, "nation")
+    r = _table(spark, sf_dir, "region")
+    return (
+        o.join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("sum_total"),
+        )
+    )
+
+
+SQL_MARKET_SHARE = """
+select r_name, n_name, count(*) as n_orders,
+       round(sum(o_totalprice), 2) as sum_total
+from orders
+join customer on o_custkey = c_custkey
+join nation on c_nationkey = n_nationkey
+join region on n_regionkey = r_regionkey
+group by r_name, n_name
+"""
+
+
+def q_semi_join(spark, sf_dir):
+    # J2: left semi — customers having >=1 order (isDistributionLocal)
+    c = _table(spark, sf_dir, "customer")
+    o = _table(spark, sf_dir, "orders")
+    return c.join(o, c["c_custkey"] == o["o_custkey"], "left_semi").select(
+        "c_custkey", "c_name"
+    )
+
+
+SQL_SEMI = """
+select c_custkey, c_name from customer
+where exists (select 1 from orders where o_custkey = c_custkey)
+"""
+
+
+def q_anti_join(spark, sf_dir):
+    # F6/U1: seen-set anti-join — customers with no orders
+    c = _table(spark, sf_dir, "customer")
+    o = _table(spark, sf_dir, "orders")
+    return c.join(o, c["c_custkey"] == o["o_custkey"], "left_anti").select(
+        "c_custkey", "c_acctbal"
+    )
+
+
+SQL_ANTI = """
+select c_custkey, c_acctbal from customer
+where not exists (select 1 from orders where o_custkey = c_custkey)
+"""
+
+
+def q_first_match(spark, sf_dir):
+    # J1: first-match-wins by priority order (INDEX_FILE_TYPES order,
+    # metadata.py:258-268) — first lineitem per order by linenumber
+    li = _table(spark, sf_dir, "lineitem")
+    return first_match_wins(
+        li, ["l_orderkey"], [F.col("l_linenumber"), F.col("l_partkey")]
+    ).select("l_orderkey", "l_partkey", "l_linenumber")
+
+
+SQL_FIRST_MATCH = """
+select l_orderkey, l_partkey, l_linenumber from (
+  select l_orderkey, l_partkey, l_linenumber,
+         row_number() over (partition by l_orderkey
+                            order by l_linenumber, l_partkey) as rn
+  from lineitem) where rn = 1
+"""
+
+
+# =====================================================================
+# windows / sorts / limits (SURVEY §2.5, §2.6)
+# =====================================================================
+def q_topk_per_group(spark, sf_dir):
+    # O4: per-host top-k frontier batch analog
+    o = _table(spark, sf_dir, "orders")
+    return topk_per_group(
+        o,
+        ["o_orderpriority"],
+        [F.col("o_totalprice").desc(), F.col("o_orderkey")],
+        k=3,
+        rank_col="rk",
+    ).select(
+        "o_orderpriority", "o_orderkey", F.round("o_totalprice", 2).alias("total"), "rk"
+    )
+
+
+SQL_TOPK = """
+select o_orderpriority, o_orderkey, round(o_totalprice, 2) as total, rk
+from (select o_orderpriority, o_orderkey, o_totalprice,
+             row_number() over (partition by o_orderpriority
+                                order by o_totalprice desc, o_orderkey) as rk
+      from orders) where rk <= 3
+"""
+
+
+def q_token_budget(spark, sf_dir):
+    # token-bucket politeness budget: running cost per host <= budget
+    ev = _table(spark, sf_dir, "events")
+    return token_budget(
+        ev,
+        ["user_id"],
+        [F.col("ts"), F.col("event_id")],
+        "value",
+        budget=500.0,
+    ).select("user_id", "event_id", F.round("cum_cost", 2).alias("cum_cost"))
+
+
+SQL_TOKEN_BUDGET = """
+select user_id, event_id, round(cum_cost, 2) as cum_cost from (
+  select user_id, event_id,
+         sum(value) over (partition by user_id order by ts, event_id
+                          rows unbounded preceding) as cum_cost
+  from events) where cum_cost <= 500.0
+"""
+
+
+def q_sessionize(spark, sf_dir):
+    # session windows (gap 30 min) over the event stream
+    ev = _table(spark, sf_dir, "events")
+    return sessionize(ev, "user_id", "ts", gap_seconds=1800).select(
+        "user_id", "event_id", "session_id"
+    )
+
+
+SQL_SESSIONIZE = """
+with g as (
+  select user_id, event_id, ts,
+         case when lag(ts) over w is null
+                or epoch(ts) - epoch(lag(ts) over w) > 1800
+              then 1 else 0 end as is_new
+  from events window w as (partition by user_id order by ts)
+)
+select user_id, event_id,
+       (sum(is_new) over (partition by user_id order by ts
+                          rows unbounded preceding))::BIGINT as session_id
+from g
+"""
+
+
+def q_top_orders(spark, sf_dir):
+    # O2: maxrecords cap — global sort + limit (utils.py:357,399)
+    o = _table(spark, sf_dir, "orders")
+    return (
+        o.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(250)
+        .select("o_orderkey", F.round("o_totalprice", 2).alias("total"))
+    )
+
+
+SQL_TOP_ORDERS = """
+select o_orderkey, round(o_totalprice, 2) as total
+from orders order by o_totalprice desc, o_orderkey limit 250
+"""
+
+
+def q_tumbling_window(spark, sf_dir):
+    # streaming analog: 1h tumbling windows (crawl rounds per §2.9)
+    ev = _table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .select(
+            F.col("w.start").alias("window_start"), "event_type", "n", "sum_value"
+        )
+    )
+
+
+SQL_TUMBLING = """
+select date_trunc('hour', ts) as window_start, event_type,
+       count(*) as n, round(sum(value), 2) as sum_value
+from events group by 1, 2
+"""
+
+
+# =====================================================================
+# set ops (SURVEY §2.7)
+# =====================================================================
+def q_set_ops(spark, sf_dir):
+    c = _table(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("nationkey")
+    ).distinct()
+    s = _table(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").alias("nationkey")
+    ).distinct()
+    both = c.intersect(s).withColumn("op", F.lit("both"))
+    c_only = c.exceptAll(s).withColumn("op", F.lit("cust_only"))
+    s_only = s.exceptAll(c).withColumn("op", F.lit("supp_only"))
+    return both.unionByName(c_only).unionByName(s_only).select("op", "nationkey")
+
+
+SQL_SET_OPS = """
+with c as (select distinct c_nationkey as nationkey from customer),
+     s as (select distinct s_nationkey as nationkey from supplier)
+select 'both' as op, nationkey from (select nationkey from c intersect select nationkey from s)
+union all
+select 'cust_only' as op, nationkey from (select nationkey from c except select nationkey from s)
+union all
+select 'supp_only' as op, nationkey from (select nationkey from s except select nationkey from c)
+"""
+
+
+# =====================================================================
+# dedup family
+# =====================================================================
+def q_dedup_exact(spark, sf_dir):
+    d = _table(spark, sf_dir, "documents")
+    return dedup_exact(d, "text", "doc_id").select("doc_id", "n_chars")
+
+
+SQL_DEDUP_EXACT = """
+select doc_id, n_chars from documents
+where doc_id in (select min(doc_id) from documents group by text)
+"""
+
+
+_MH_K = 4
+_MH_PARAMS = minhash_params(_MH_K)
+
+
+def q_minhash_signature(spark, sf_dir):
+    d = _table(spark, sf_dir, "documents")
+    return minhash_signature(d, "doc_id", "text", k=_MH_K, shingle_n=3)
+
+
+def _sql_minhash_sig() -> str:
+    mins = ", ".join(
+        f"min(((hm * {a}) + {b}) % {P}) as mh{i}"
+        for i, (a, b) in enumerate(_MH_PARAMS)
+    )
+    return (
+        _sql_grams(3)
+        + f", h as (select doc_id, {SQL_MD5.format(e='g')} % {P} as hm from grams) "
+        + f"select doc_id, {mins} from h group by doc_id"
+    )
+
+
+def q_minhash_lsh_pairs(spark, sf_dir):
+    d = _table(spark, sf_dir, "documents")
+    return minhash_lsh_pairs(d, "doc_id", "text", k=_MH_K, bands=_MH_K, shingle_n=3)
+
+
+def _sql_lsh_pairs() -> str:
+    # bands of 1 row: collide iff any single minhash matches
+    band_rows = " union all ".join(
+        f"select doc_id, {b} as band, md5(concat_ws(',', mh{b})) as bh from sig"
+        for b in range(_MH_K)
+    )
+    return (
+        f"with sig as ({_sql_minhash_sig()}), banded as ({band_rows}) "
+        "select distinct a.doc_id as id_a, b.doc_id as id_b "
+        "from banded a join banded b on a.band = b.band and a.bh = b.bh "
+        "and a.doc_id < b.doc_id"
+    )
+
+
+def q_ngram_jaccard(spark, sf_dir):
+    d = _table(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs(d, "doc_id", "text", shingle_n=2, threshold=0.05)
+
+
+SQL_NGRAM_JACCARD = (
+    _sql_grams(2)
+    + """
+, dg as (select distinct doc_id as id, g from grams),
+sizes as (select id, count(*) as n from dg group by id),
+inter as (select x.id as id_a, y.id as id_b, count(*) as n_inter
+          from dg x join dg y on x.g = y.g and x.id < y.id
+          group by 1, 2)
+select id_a, id_b,
+       round(n_inter / (sa.n + sb.n - n_inter)::DOUBLE, 4) as jaccard
+from inter
+join sizes sa on sa.id = id_a
+join sizes sb on sb.id = id_b
+where round(n_inter / (sa.n + sb.n - n_inter)::DOUBLE, 4) >= 0.05
+"""
+)
+
+
+_SH_BITS = 16
+
+
+def q_simhash(spark, sf_dir):
+    d = _table(spark, sf_dir, "documents")
+    return simhash_buckets(d, "doc_id", "text", prefix_bits=_SH_BITS)
+
+
+def _sql_simhash() -> str:
+    votes = ", ".join(
+        f"sum(case when (hh >> {i}) & 1 = 1 then 1 else -1 end) as v{i}"
+        for i in range(_SH_BITS)
+    )
+    sig = " + ".join(
+        f"(case when v{i} > 0 then {1 << i} else 0 end)" for i in range(_SH_BITS)
+    )
+    return (
+        f"with t as (select doc_id, unnest({SQL_TOKS}) as tok from documents), "
+        f"h as (select doc_id, {SQL_MD5.format(e='tok')} as hh from t), "
+        f"bits as (select doc_id, {votes} from h group by doc_id) "
+        f"select doc_id, ({sig})::BIGINT as simhash from bits"
+    )
+
+
+# =====================================================================
+# similarity search
+# =====================================================================
+_SQL_COS = """
+round(
+  list_sum(list_transform(range(64), i -> qv[i+1]::DOUBLE * cv[i+1]::DOUBLE)) /
+  (sqrt(list_sum(list_transform(range(64), i -> qv[i+1]::DOUBLE * qv[i+1]::DOUBLE))) *
+   sqrt(list_sum(list_transform(range(64), i -> cv[i+1]::DOUBLE * cv[i+1]::DOUBLE)))), 4)
+"""
+
+
+def q_ann_topk(spark, sf_dir):
+    e = _table(spark, sf_dir, "embeddings")
+    return brute_force_topk(e, e.filter(F.col("vec_id") < 5), k=3)
+
+
+SQL_ANN_TOPK = f"""
+with q as (select vec_id as query_id, embedding as qv from embeddings where vec_id < 5),
+     c as (select vec_id as neighbor_id, embedding as cv from embeddings),
+     s as (select query_id, neighbor_id, {_SQL_COS} as cos_sim
+           from c join q on neighbor_id <> query_id)
+select query_id, neighbor_id, cos_sim, rank from (
+  select *, row_number() over (partition by query_id
+                               order by cos_sim desc, neighbor_id) as rank
+  from s) where rank <= 3
+"""
+
+
+def q_embedding_near_dupes(spark, sf_dir):
+    e = _table(spark, sf_dir, "embeddings")
+    return embedding_near_dupes(e, threshold=0.25, n_planes=4, n_dims=64)
+
+
+def _sql_near_dupes() -> str:
+    from pygeodatacrawler_spark.operators.similarity import plane_components
+
+    planes = plane_components(4, 64)
+    bucket_terms = []
+    for p in range(4):
+        lits = ", ".join(str(v) for v in planes[p])
+        bucket_terms.append(
+            f"(case when list_sum(list_transform(range(64), "
+            f"i -> v[i+1]::DOUBLE * ([{lits}])[i+1])) > 0 then {1 << p} else 0 end)"
+        )
+    bucket = " + ".join(bucket_terms)
+    cos = _SQL_COS.replace("qv", "x.v").replace("cv", "y.v")
+    return f"""
+with b as (select vec_id as id, embedding as v, ({bucket}) as bucket from embeddings)
+select x.id as id_a, y.id as id_b, {cos} as cos_sim
+from b x join b y on x.bucket = y.bucket and x.id < y.id
+where {cos} >= 0.25
+"""
+
+
+# =====================================================================
+# text analysis
+# =====================================================================
+def q_lang_id(spark, sf_dir):
+    d = _table(spark, sf_dir, "documents")
+    return d.select("doc_id", lang_id(F.col("text")).alias("lang_pred"))
+
+
+def _sql_lang_id() -> str:
+    counts = {
+        code: f"len(list_filter(s, x -> lower(x) in ({', '.join(repr(w) for w in ws)})))"
+        for code, ws in STOPWORDS.items()
+    }
+    return f"""
+with t as (select doc_id, {SQL_TOKS} as s from documents),
+c as (select doc_id, {counts['en']} as en, {counts['es']} as es,
+             {counts['de']} as de, {counts['fr']} as fr from t)
+select doc_id,
+  case when en >= es and en >= de and en >= fr then 'en'
+       when es >= de and es >= fr then 'es'
+       when de >= fr then 'de'
+       else 'fr' end as lang_pred
+from c
+"""
+
+
+def q_quality(spark, sf_dir):
+    d = _table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        token_count(F.col("text")).alias("token_cnt"),
+        quality_score(F.col("text")).alias("q_score"),
+    )
+
+
+def _sql_quality() -> str:
+    en = ", ".join(repr(w) for w in STOPWORDS["en"])
+    return f"""
+with t as (select doc_id, text, {SQL_TOKS} as s from documents),
+m as (select doc_id, len(s) as token_cnt,
+        case when len(s) = 0 then 0.0
+             else len(list_filter(s, x -> lower(x) in ({en}))) / len(s)::DOUBLE end as stop_ratio,
+        case when length(text) = 0 then 0.0
+             else len(regexp_extract_all(text, '[^\\w\\s]')) / length(text)::DOUBLE end as punct,
+        length(text) as chars
+      from t)
+select doc_id, token_cnt,
+  round(0.3 * least(1.0, chars / 500.0)
+      + 0.4 * least(1.0, 4.0 * stop_ratio)
+      + 0.3 * (1.0 - least(1.0, 4.0 * punct)), 4) as q_score
+from m
+"""
+
+
+def q_fingerprint(spark, sf_dir):
+    from pygeodatacrawler_spark.functions.quality import fingerprint
+
+    d = _table(spark, sf_dir, "documents")
+    return d.select("doc_id", fingerprint(F.col("text"), 3).alias("fp"))
+
+
+SQL_FINGERPRINT = (
+    _sql_grams(3)
+    + f" select doc_id, min({SQL_MD5.format(e='g')}) as fp from grams group by doc_id"
+)
+
+
+# =====================================================================
+# scalar functions: URL canonicalization / checkId / dict_merge
+# =====================================================================
+def _synth_url(spark, sf_dir):
+    d = _table(spark, sf_dir, "documents")
+    suffix = (
+        F.when(F.col("doc_id") % 3 == 0, F.lit(".html?service=WMS&request=GetCapabilities&map=1"))
+        .when(F.col("doc_id") % 3 == 1, F.lit(".html#sec"))
+        .otherwise(F.lit(".html"))
+    )
+    return d.select(
+        "doc_id",
+        F.concat(
+            F.lit("https://"), F.col("source"), F.lit(".Example.ORG/docs/"),
+            F.col("doc_id").cast("string"), suffix,
+        ).alias("url"),
+    )
+
+
+SQL_SYNTH_URL = """
+select doc_id,
+  'https://' || source || '.Example.ORG/docs/' || doc_id ||
+  case (doc_id % 3) when 0 then '.html?service=WMS&request=GetCapabilities&map=1'
+                    when 1 then '.html#sec' else '.html' end as url
+from documents
+"""
+
+_STRIP_SQL = "(?i:request|service|version|layers|typenames|exceptions|outputformat)"
+
+
+def q_canonicalize(spark, sf_dir):
+    u = _synth_url(spark, sf_dir)
+    canon = canonicalize_url(F.col("url"))
+    return u.select(
+        "doc_id",
+        canon.alias("canon"),
+        registered_domain(canon).alias("domain"),
+        url_depth(canon).alias("depth"),
+        safe_filename(canon).alias("fname"),
+    )
+
+
+SQL_CANONICALIZE = f"""
+with u as ({SQL_SYNTH_URL}),
+c1 as (select doc_id, regexp_replace(url, '#.*$', '', 'g') as u from u),
+c2 as (select doc_id, regexp_replace(u, '\\?', '?&', 'g') as u from c1),
+c3 as (select doc_id, regexp_replace(u, '&{_STRIP_SQL}=[^&]*', '', 'g') as u from c2),
+c4 as (select doc_id, regexp_replace(u, '\\?&', '?', 'g') as u from c3),
+c5 as (select doc_id, regexp_replace(u, '[?&]+$', '', 'g') as u from c4),
+c6 as (select doc_id,
+         lower(regexp_extract(u, '^([a-zA-Z][a-zA-Z0-9+.-]*://[^/?]*)', 1)) as head,
+         regexp_replace(u, '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?]*', '') as tail,
+         u from c5),
+canon as (select doc_id,
+    case when head = '' then u
+         else head || (case when tail = '' then '/'
+                            when starts_with(tail, '?') then '/' || tail
+                            else tail end) end as canon
+  from c6)
+select doc_id, canon,
+  regexp_extract(lower(regexp_extract(canon, '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]*)', 1)),
+                 '([^.]+\\.[^.]+)$', 1) as domain,
+  len(list_filter(string_split(regexp_extract(canon, '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^?#]*)', 1), '/'),
+                  x -> x <> '')) as depth,
+  translate(canon, '# !+/\\:;()[]{{}}&~%,''', '--------') as fname
+from canon
+"""
+
+
+def q_checkid_cascade(spark, sf_dir):
+    # C2 checkId: id cascade with '' treated as absent (metadata.py:543-560)
+    d = _table(spark, sf_dir, "documents")
+    ident = F.coalesce(
+        F.nullif(F.regexp_extract(F.col("source"), r"zzz(\d+)", 1), F.lit("")),
+        F.nullif(F.regexp_extract(F.col("source"), r"src(\d+)", 1), F.lit("")),
+        F.concat(F.lit("u"), F.col("doc_id").cast("string")),
+    )
+    return d.select("doc_id", ident.alias("ident"))
+
+
+SQL_CHECKID = r"""
+select doc_id,
+  coalesce(nullif(regexp_extract(source, 'zzz(\d+)', 1), ''),
+           nullif(regexp_extract(source, 'src(\d+)', 1), ''),
+           'u' || doc_id) as ident
+from documents
+"""
+
+
+def q_dict_merge(spark, sf_dir):
+    # C3 dict_merge: empty incoming never clobbers non-empty existing
+    # (utils.py:199-202) — coalesce(nullif(trim(new),''), old)
+    d = _table(spark, sf_dir, "documents")
+    new = d.withColumn(
+        "new_lang",
+        F.when(F.col("doc_id") % 5 == 0, F.lit("")).otherwise(F.col("lang")),
+    )
+    old = d.groupBy("source").agg(F.min("lang").alias("old_lang"))
+    return (
+        new.join(F.broadcast(old), "source")
+        .select(
+            "doc_id",
+            F.coalesce(
+                F.nullif(F.trim(F.col("new_lang")), F.lit("")), F.col("old_lang")
+            ).alias("merged_lang"),
+        )
+    )
+
+
+SQL_DICT_MERGE = """
+with old as (select source, min(lang) as old_lang from documents group by source),
+ new as (select doc_id, source,
+                case when doc_id % 5 = 0 then '' else lang end as new_lang
+         from documents)
+select doc_id,
+       coalesce(nullif(trim(new_lang), ''), old_lang) as merged_lang
+from new join old using (source)
+"""
+
+
+# =====================================================================
+# frontier BFS (the crawl loop's relational core, oracled recursively)
+# =====================================================================
+def q_crawl_bfs(spark, sf_dir):
+    """Iterative frontier expansion over a link graph derived from events
+    (edge user_id -> event_id % 20), seeds = {0}, max depth 4 — the same
+    loop shape as plans/crawl.py, oracled by a recursive CTE."""
+    ev = _table(spark, sf_dir, "events")
+    edges = ev.select(
+        F.col("user_id").cast("long").alias("src"),
+        (F.col("event_id") % 20).cast("long").alias("dst"),
+    ).distinct().cache()
+    visited = spark.createDataFrame([(0, 0)], "node long, depth int")
+    frontier = visited
+    for depth in range(1, 5):
+        nxt = (
+            edges.join(frontier, edges["src"] == frontier["node"])
+            .select(F.col("dst").alias("node"), F.lit(depth).alias("depth"))
+            .distinct()
+        )
+        new = nxt.join(visited, "node", "left_anti").cache()
+        if new.isEmpty():
+            break
+        visited = visited.unionByName(new)
+        frontier = new
+    return visited.select("node", F.col("depth").cast("long").alias("depth"))
+
+
+SQL_CRAWL_BFS = """
+with recursive edges as (
+  select distinct user_id::BIGINT as src, (event_id % 20)::BIGINT as dst from events
+), bfs(node, depth) as (
+  select 0::BIGINT, 0
+  union all
+  select e.dst, b.depth + 1 from bfs b join edges e on e.src = b.node
+  where b.depth < 4
+)
+select node, min(depth)::BIGINT as depth from bfs group by node
+"""
+
+
+# =====================================================================
+# explode / flatten (A4 contact split analog)
+# =====================================================================
+def q_explode_tokens(spark, sf_dir):
+    d = _table(spark, sf_dir, "documents")
+    return (
+        d.select("doc_id", F.explode(tokens(F.col("text"))).alias("tok"))
+        .filter(F.col("tok").startswith("s"))
+    )
+
+
+SQL_EXPLODE = f"""
+select doc_id, tok from (
+  select doc_id, unnest({SQL_TOKS}) as tok from documents)
+where starts_with(tok, 's')
+"""
+
+
+# =====================================================================
+# registry
+# =====================================================================
+def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {
+        "pricing_summary": q_pricing_summary,
+        "minmax_by_group": q_minmax_by_group,
+        "keyword_collect": q_keyword_collect,
+        "histogram": q_histogram,
+        "market_share": q_market_share,
+        "semi_join": q_semi_join,
+        "anti_join": q_anti_join,
+        "first_match": q_first_match,
+        "topk_per_group": q_topk_per_group,
+        "token_budget": q_token_budget,
+        "sessionize": q_sessionize,
+        "top_orders": q_top_orders,
+        "tumbling_window": q_tumbling_window,
+        "set_ops": q_set_ops,
+        "dedup_exact": q_dedup_exact,
+        "minhash_signature": q_minhash_signature,
+        "minhash_lsh_pairs": q_minhash_lsh_pairs,
+        "ngram_jaccard": q_ngram_jaccard,
+        "simhash": q_simhash,
+        "ann_topk": q_ann_topk,
+        "embedding_near_dupes": q_embedding_near_dupes,
+        "lang_id": q_lang_id,
+        "quality": q_quality,
+        "fingerprint": q_fingerprint,
+        "canonicalize": q_canonicalize,
+        "checkid_cascade": q_checkid_cascade,
+        "dict_merge": q_dict_merge,
+        "crawl_bfs": q_crawl_bfs,
+        "explode_tokens": q_explode_tokens,
+    }
+
+
+def all_oracle_sql() -> dict[str, str]:
+    return {
+        "pricing_summary": SQL_PRICING,
+        "minmax_by_group": SQL_MINMAX,
+        "keyword_collect": SQL_KEYWORD_COLLECT,
+        "histogram": SQL_HISTOGRAM,
+        "market_share": SQL_MARKET_SHARE,
+        "semi_join": SQL_SEMI,
+        "anti_join": SQL_ANTI,
+        "first_match": SQL_FIRST_MATCH,
+        "topk_per_group": SQL_TOPK,
+        "token_budget": SQL_TOKEN_BUDGET,
+        "sessionize": SQL_SESSIONIZE,
+        "top_orders": SQL_TOP_ORDERS,
+        "tumbling_window": SQL_TUMBLING,
+        "set_ops": SQL_SET_OPS,
+        "dedup_exact": SQL_DEDUP_EXACT,
+        "minhash_signature": _sql_minhash_sig(),
+        "minhash_lsh_pairs": _sql_lsh_pairs(),
+        "ngram_jaccard": SQL_NGRAM_JACCARD,
+        "simhash": _sql_simhash(),
+        "ann_topk": SQL_ANN_TOPK,
+        "embedding_near_dupes": _sql_near_dupes(),
+        "lang_id": _sql_lang_id(),
+        "quality": _sql_quality(),
+        "fingerprint": SQL_FINGERPRINT,
+        "canonicalize": SQL_CANONICALIZE,
+        "checkid_cascade": SQL_CHECKID,
+        "dict_merge": SQL_DICT_MERGE,
+        "crawl_bfs": SQL_CRAWL_BFS,
+        "explode_tokens": SQL_EXPLODE,
+    }

@@ -71,19 +71,27 @@ def brute_force_topk(
     )
 
 
-def _plane_component(plane: int, dim: int) -> Column:
-    """Deterministic ±1 hyperplane component from md5(plane:dim)."""
-    h = F.conv(F.substring(F.md5(F.lit(f"plane{plane}:{dim}")), 1, 4), 16, 10).cast(
-        "long"
-    )
-    return F.when(h.bitwiseAND(F.lit(1)) == 1, F.lit(1.0)).otherwise(F.lit(-1.0))
+def plane_components(n_planes: int, n_dims: int) -> list[list[float]]:
+    """Deterministic ±1 hyperplanes from md5("plane{p}:{d}") — computed
+    once in Python so engine AND SQL oracle share identical constants."""
+    import hashlib
+
+    planes = []
+    for p in range(n_planes):
+        row = []
+        for d in range(n_dims):
+            h = int(hashlib.md5(f"plane{p}:{d}".encode()).hexdigest()[:4], 16)
+            row.append(1.0 if h & 1 else -1.0)
+        planes.append(row)
+    return planes
 
 
 def lsh_bucket(vec: Column, n_planes: int, n_dims: int) -> Column:
     """Random-hyperplane LSH bucket id: sign pattern of n_planes dots."""
+    planes = plane_components(n_planes, n_dims)
     bucket = F.lit(0)
     for p in range(n_planes):
-        plane = F.array(*[_plane_component(p, d) for d in range(n_dims)])
+        plane = F.array(*[F.lit(v) for v in planes[p]])
         s = dot(vec.cast("array<double>"), plane)
         bucket = bucket + F.when(s > 0, F.lit(1 << p)).otherwise(F.lit(0))
     return bucket

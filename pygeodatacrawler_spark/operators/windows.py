@@ -79,7 +79,10 @@ def sessionize(
     exceeds ``gap_seconds``. lag + conditional cumsum — two windows on
     the same (user, ts) sort, one shuffle."""
     w = Window.partitionBy(user_col).orderBy(ts_col)
-    gap = F.col(ts_col).cast("long") - F.lag(F.col(ts_col).cast("long")).over(w)
+    # NTZ timestamps can't cast straight to long; go via timestamp
+    # (session tz pinned UTC in session.py, matching DuckDB's epoch())
+    secs = F.col(ts_col).cast("timestamp").cast("long")
+    gap = secs - F.lag(secs).over(w)
     is_new = F.when(gap.isNull() | (gap > gap_seconds), 1).otherwise(0)
     return df.withColumn("_new", is_new).withColumn(
         session_col,
