@@ -67,7 +67,11 @@ def _page_url(host: str, j: int) -> str:
 
 
 def generate_pages(
-    n_pages: int = 2000, n_hosts: int = 20, seed: int = 42
+    n_pages: int = 2000,
+    n_hosts: int = 20,
+    seed: int = 42,
+    words_min: int = 20,
+    words_max: int = 80,
 ) -> tuple[pd.DataFrame, pd.DataFrame, pd.DataFrame]:
     """Returns (pages, seeds, robots) as pandas frames.
 
@@ -100,7 +104,7 @@ def generate_pages(
                 tj = rng.randrange(max(1, host_sizes[th]))
                 links.append(_page_url(hosts[th], tj))
             body_words = " ".join(
-                rng.choice(WORDS) for _ in range(rng.randint(20, 80))
+                rng.choices(WORDS, k=rng.randint(words_min, words_max))
             )
             island = ""
             if j % 10 == 3:
@@ -148,10 +152,141 @@ def generate_pages(
     return pages, seeds, robots
 
 
-def load_pages(
-    spark: SparkSession, n_pages: int = 2000, n_hosts: int = 20, seed: int = 42
+def _page_row(hi: int, j: int, hosts: list[str], host_sizes: list[int],
+              rng: random.Random, words_min: int, words_max: int) -> dict:
+    """One deterministic page row. ``rng`` must be seeded per page so the
+    output is a pure function of (host index, page index) — identical
+    whether generated on the driver or on any executor partitioning."""
+    host = hosts[hi]
+    n = host_sizes[hi]
+    url = _page_url(host, j)
+    links = [
+        _page_url(host, c)
+        for c in range(j * BRANCHING + 1, j * BRANCHING + 1 + BRANCHING)
+        if c < n
+    ]
+    if links and j % 6 == 2:
+        links.append(links[0] + "?service=WMS&request=GetCapabilities")
+    for _ in range(rng.randint(0, 2)):
+        th = rng.randrange(len(hosts))
+        tj = rng.randrange(max(1, host_sizes[th]))
+        links.append(_page_url(hosts[th], tj))
+    body_words = " ".join(rng.choices(WORDS, k=rng.randint(words_min, words_max)))
+    island = ""
+    if j % 10 == 3:
+        island = _iso_island(host, j)
+    elif j % 10 == 7:
+        island = _dc_block(host, j)
+    anchor_html = "".join(
+        f'<a href="{l}">link {i}</a> ' for i, l in enumerate(links)
+    )
+    html = (
+        f"<html><head><title>Page {j} of {host}</title>"
+        "<script>var tracked = 1;</script></head>"
+        "<!-- generated fixture -->"
+        f"<body><h1>Page {j}</h1><p>{body_words}</p>"
+        f"{island}{anchor_html}"
+        "<style>p { color: black }</style></body></html>"
+    ).encode("utf-8")
+    ts = T0 + timedelta(seconds=(hi * 7919 + j * 13) % 2_000_000)
+    return {
+        "url": url,
+        "warc_ts": ts,
+        "html": html,
+        "text": extract_text_py(html),
+        "lang": ["eng", "spa", "deu", "fra"][(hi * 31 + j * 7) % 4],
+    }
+
+
+def generate_pages_distributed(
+    spark: SparkSession,
+    n_pages: int = 100_000,
+    n_hosts: int = 60,
+    seed: int = 42,
+    words_min: int = 150,
+    words_max: int = 400,
 ) -> tuple[DataFrame, DataFrame, DataFrame]:
-    pages_pd, seeds_pd, robots_pd = generate_pages(n_pages, n_hosts, seed)
+    """Executor-side corpus generation for bench scale.
+
+    Each page is a pure function of its global index (per-page seeded
+    RNG), so the corpus is identical at any partitioning/parallelism —
+    the property that makes the two-cluster-size scaling benchmark
+    compare identical inputs. Driver never materializes the corpus.
+    """
+    hosts = [f"www.host-{i:03d}.org" for i in range(n_hosts)]
+    heavy = max(1, int(n_pages * 0.3))
+    rest = (n_pages - heavy) // max(1, n_hosts - 1)
+    host_sizes = [heavy] + [rest] * (n_hosts - 1)
+    offsets = []
+    acc = 0
+    for s in host_sizes:
+        offsets.append(acc)
+        acc += s
+    total = acc
+
+    def _gen(pdf_iter):
+        import pandas as pd  # noqa: PLC0415 (executor-side import)
+
+        for pdf in pdf_iter:
+            rows = []
+            for gid in pdf["id"]:
+                gid = int(gid)
+                # host index by offset bisection (few hosts -> linear ok)
+                hi = 0
+                for k in range(len(offsets) - 1, -1, -1):
+                    if gid >= offsets[k]:
+                        hi = k
+                        break
+                j = gid - offsets[hi]
+                rng = random.Random((seed << 20) ^ gid)
+                rows.append(
+                    _page_row(hi, j, hosts, host_sizes, rng, words_min, words_max)
+                )
+            yield pd.DataFrame(rows)
+
+    pages = (
+        spark.range(0, total, 1, spark.sparkContext.defaultParallelism)
+        .mapInPandas(
+            _gen,
+            schema="url string, warc_ts timestamp, html binary, text string, lang string",
+        )
+    )
+    seeds = spark.createDataFrame(
+        pd.DataFrame({"url": [f"https://{h}/page-0.html" for h in hosts], "depth": 0}),
+        schema="url string, depth int",
+    )
+    robots_rows = [
+        {
+            "registered_domain": f"host-{i:03d}.org",
+            "skip_pattern": r"tmp-page" if i % 2 == 0 else None,
+            "no_recurse_prefix": f"https://{h}/sub/" if i % 3 == 2 else None,
+            "crawl_delay": 0.0,
+            "max_pages": None,
+        }
+        for i, h in enumerate(hosts)
+    ]
+    robots_pd = pd.DataFrame(robots_rows)
+    robots = spark.createDataFrame(
+        robots_pd.astype(object).where(robots_pd.notna(), None),
+        schema=(
+            "registered_domain string, skip_pattern string, "
+            "no_recurse_prefix string, crawl_delay double, max_pages int"
+        ),
+    )
+    return pages, seeds, robots
+
+
+def load_pages(
+    spark: SparkSession,
+    n_pages: int = 2000,
+    n_hosts: int = 20,
+    seed: int = 42,
+    words_min: int = 20,
+    words_max: int = 80,
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    pages_pd, seeds_pd, robots_pd = generate_pages(
+        n_pages, n_hosts, seed, words_min, words_max
+    )
     pages = spark.createDataFrame(
         pages_pd,
         schema="url string, warc_ts timestamp, html binary, text string, lang string",

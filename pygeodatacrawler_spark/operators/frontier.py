@@ -80,6 +80,7 @@ def salt_heavy_hosts(
     batch: DataFrame,
     salt_buckets: int = 8,
     heavy_threshold: int = 1000,
+    num_partitions: int | None = None,
 ) -> DataFrame:
     """Add a salt column that splits heavy hosts across partitions.
 
@@ -100,4 +101,10 @@ def salt_heavy_hosts(
         )
         .drop("_n")
     )
-    return salted.repartition("registered_domain", "salt")
+    # explicit partition count: the downstream extract UDF is CPU-bound,
+    # so we want ~one partition per core even when the bytes are small —
+    # an unpinned repartition lets AQE coalesce tiny batches onto 1-2
+    # tasks and serialize the Python workers
+    if num_partitions is None:
+        num_partitions = batch.sparkSession.sparkContext.defaultParallelism
+    return salted.repartition(num_partitions, "registered_domain", "salt")

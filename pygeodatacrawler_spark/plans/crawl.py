@@ -86,10 +86,16 @@ class CrawlEngine:
         self.bloom_buckets = bloom_buckets
         self.salt_threshold = salt_threshold
         self.frontier = SnapshotTable(spark, workdir, "frontier")
-        self.records = SnapshotTable(spark, workdir, "records")
-        self.visits = SnapshotTable(spark, workdir, "visits")
-        self.lineage = SnapshotTable(spark, workdir, "lineage")
+        # append-log tables: O(batch) appends, read() unions the log
+        self.records = SnapshotTable(spark, workdir, "records", log=True)
+        self.lineage = SnapshotTable(spark, workdir, "lineage", log=True)
         self.stats = CrawlStats()
+        # driver-side frontier-size counter: sizes the bloom without a
+        # count() action per round; re-derived from the snapshot on resume
+        self._n_frontier: int | None = None
+        # below this, the exact anti-join is cheaper than building and
+        # shipping bloom bitmaps; above it, the bloom prunes the shuffle
+        self.bloom_min_frontier = 200_000
 
     # -- bootstrap ---------------------------------------------------------
     def init_from_seeds(self, seeds: DataFrame) -> None:
@@ -108,6 +114,7 @@ class CrawlEngine:
             .select(*FRONTIER_COLS)
         )
         self.frontier.write_snapshot(f)
+        self._n_frontier = self.frontier.read().count()
 
     def resume_round(self) -> int:
         """Next round number implied by committed lineage (for resume)."""
@@ -119,15 +126,26 @@ class CrawlEngine:
     # -- one round ---------------------------------------------------------
     def run_round(self, round_no: int) -> dict:
         t0 = time.monotonic()
-        frontier = self.frontier.read()
+        frontier = self.frontier.read().cache()
+        if self._n_frontier is None:
+            self._n_frontier = frontier.count()  # resume path
         pending = frontier.filter(F.col("state") == "pending")
 
         batch = pick_batch(pending, self.robots, self.host_budget)
         batch = salt_heavy_hosts(batch, heavy_threshold=self.salt_threshold)
         batch = batch.select(*FRONTIER_COLS, "host_rank", "salt").cache()
-        n_batch = batch.count()
+        # one action materializes the batch AND yields size + partition
+        # balance (the lineage skew metric) — no separate count()
+        pstats = (
+            batch.groupBy(F.spark_partition_id().alias("pid"))
+            .agg(F.count("*").alias("rows"))
+            .collect()
+        )
+        n_batch = sum(r["rows"] for r in pstats)
         if n_batch == 0:
             return {"round": round_no, "rows_in": 0, "rows_out": 0, "done": True}
+        n_parts = len(pstats)
+        skew = max(r["rows"] for r in pstats) / (n_batch / n_parts)
 
         # fetch: canon_url joins the pages store (stand-in for HTTP stage)
         fetched = batch.join(
@@ -141,7 +159,7 @@ class CrawlEngine:
             .mapInPandas(extract_pages_batches, schema=EXTRACT_SCHEMA)
         )
         records = (
-            batch.select("url_hash", "canon_url", "depth")
+            batch.select("url_hash", "canon_url", "registered_domain", "depth")
             .join(
                 extracted.withColumnRenamed("url", "canon_url"),
                 "canon_url",
@@ -150,8 +168,10 @@ class CrawlEngine:
             .withColumn("round", F.lit(round_no))
             .withColumn("text_sha2", F.sha2(F.coalesce(F.col("text"), F.lit("")), 256))
         )
+        # one record row per batch row by construction (1:1 left joins);
+        # missing pages carry null text — no extra count() action needed
         records = records.cache()
-        n_records = records.filter(F.col("text").isNotNull()).count()
+        n_records = n_batch
 
         # expand: new links -> candidate frontier rows
         links = (
@@ -174,71 +194,67 @@ class CrawlEngine:
             .select(*FRONTIER_COLS)
         )
 
-        # seen filter: bloom prefilter + exact anti-join on the maybes
-        bloom = build_bloom(
-            frontier.select("url_hash"), n_buckets=self.bloom_buckets
-        )
-        probed = probe_bloom(links, bloom, n_buckets=self.bloom_buckets)
-        definitely_new = probed.filter(~F.col("maybe_seen")).drop("maybe_seen")
-        maybes = probed.filter(F.col("maybe_seen")).drop("maybe_seen")
-        confirmed_new = maybes.join(
-            frontier.select("url_hash"), "url_hash", "left_anti"
-        )
-        new_links = definitely_new.unionByName(confirmed_new).cache()
+        # seen filter. Large frontier: bloom prefilter turns the seen
+        # check into a map-only stage for the definitely-new majority,
+        # exact anti-join only on the maybes (parity stays exact).
+        # Small frontier: the anti-join alone is cheaper than building
+        # and shipping bitmaps — adaptive, like the reference checking
+        # os.path.exists only because it is cheap.
+        if self._n_frontier >= self.bloom_min_frontier:
+            bloom = build_bloom(
+                frontier.select("url_hash"),
+                n_buckets=self.bloom_buckets,
+                expected_total=self._n_frontier,
+            )
+            probed = probe_bloom(links, bloom, n_buckets=self.bloom_buckets)
+            definitely_new = probed.filter(~F.col("maybe_seen")).drop("maybe_seen")
+            maybes = probed.filter(F.col("maybe_seen")).drop("maybe_seen")
+            confirmed_new = maybes.join(
+                frontier.select("url_hash"), "url_hash", "left_anti"
+            )
+            new_links = definitely_new.unionByName(confirmed_new).cache()
+        else:
+            new_links = links.join(
+                frontier.select("url_hash"), "url_hash", "left_anti"
+            ).cache()
         n_new = new_links.count()
+        self._n_frontier += n_new
 
         # commit: frontier MERGE (fetched states win, then new pendings)
         fetched_rows = batch.select(*FRONTIER_COLS).withColumn(
             "state", F.lit("fetched")
         )
         self.frontier.merge_upsert(
-            fetched_rows.unionByName(new_links), key="url_hash", order_col="canon_url"
+            fetched_rows.unionByName(new_links),
+            key="url_hash",
+            order_col="canon_url",
+            current=frontier,
         )
 
-        # visit order: deterministic rank within the round. The global
-        # window is a single-reducer sort of ONE round's batch (bounded by
-        # hosts*budget), not of the whole crawl — acceptable at any scale.
-        visits = batch.select(
-            "canon_url",
-            "registered_domain",
-            "depth",
-            F.lit(round_no).alias("round"),
-            F.row_number()
-            .over(Window.orderBy("depth", "canon_url"))
-            .alias("rank_in_round"),
-        )
-        self.visits.append(visits)
         self.records.append(
             records.select(
-                "url_hash", "canon_url", "depth", "round", "text", "text_sha2",
-                "links", "n_bytes",
+                "url_hash",
+                "canon_url",
+                "registered_domain",
+                "depth",
+                "round",
+                "text",
+                "text_sha2",
+                "links",
+                "n_bytes",
             )
         )
 
-        # lineage: per-partition balance of the batch (north-rule metrics)
-        part_stats = (
-            batch.groupBy(F.spark_partition_id().alias("pid"))
-            .agg(F.count("*").alias("rows"))
-            .agg(
-                F.max("rows").alias("max_rows"),
-                F.avg("rows").alias("avg_rows"),
-                F.count("*").alias("n_parts"),
-            )
-            .collect()[0]
-        )
-        skew = (
-            float(part_stats["max_rows"]) / float(part_stats["avg_rows"])
-            if part_stats["avg_rows"]
-            else 1.0
-        )
+        # lineage: partition balance was captured in the same action that
+        # materialized the batch (pstats above) — north-rule metrics
         wall = time.monotonic() - t0
         line = {
             "round": round_no,
             "rows_in": n_batch,
             "rows_out": n_new,
             "n_records": n_records,
-            "n_parts": int(part_stats["n_parts"]),
-            "skew": skew,
+            "n_parts": n_parts,
+            "skew": float(skew),
             "wall_s": wall,
         }
         self.lineage.append(
@@ -253,12 +269,29 @@ class CrawlEngine:
         batch.unpersist()
         records.unpersist()
         new_links.unpersist()
+        frontier.unpersist()
         self.stats.rounds += 1
         self.stats.urls_fetched += n_batch
         self.stats.urls_discovered += n_new
         self.stats.lineage.append(line)
         line["done"] = False
         return line
+
+    # -- derived views ------------------------------------------------------
+    def visits_view(self) -> DataFrame:
+        """Visit order, derived from the records log: rank within each
+        round by (depth, canon_url) — the deterministic ordering the
+        sequential oracle reproduces. Computed at read time instead of
+        written per round (one fewer sink in the hot loop; the rank is
+        a pure function of committed state)."""
+        w = Window.partitionBy("round").orderBy("depth", "canon_url")
+        return self.records.read().select(
+            "canon_url",
+            "registered_domain",
+            "depth",
+            "round",
+            F.row_number().over(w).alias("rank_in_round"),
+        )
 
     # -- full run ----------------------------------------------------------
     def run(self, max_rounds: int = 100) -> CrawlStats:

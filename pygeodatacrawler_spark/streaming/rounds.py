@@ -1,0 +1,85 @@
+"""Structured-Streaming analogs of the crawl loop (SURVEY.md §2.9).
+
+The reference is strictly batch; the rebuild's streaming surface:
+
+- ``windowed_page_counts`` — tumbling-window aggregation with a
+  watermark over a stream of discovered pages (warc_ts as event time;
+  late rediscoveries beyond the watermark are dropped, the streaming
+  analog of the seen-set dropping late duplicates).
+- ``seed_ingest_stream``  — continuous seed ingestion: each micro-batch
+  of new seed URLs is MERGE'd into the frontier snapshot table and a
+  bounded number of crawl rounds runs via foreachBatch. State lives in
+  the snapshot tables (deterministic resume), not the streaming state
+  store — the design choice SURVEY §2.9 calls out.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+import pyspark.sql.functions as F
+
+from pygeodatacrawler_spark.functions.urls import (
+    canonicalize_url,
+    registered_domain,
+    url_hash,
+)
+from pygeodatacrawler_spark.plans.crawl import FRONTIER_COLS, CrawlEngine
+
+
+def windowed_page_counts(
+    pages_stream: DataFrame,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Streaming tumbling-window page counts per language with late-data
+    handling: rows later than the watermark are dropped."""
+    return (
+        pages_stream.withWatermark("warc_ts", watermark)
+        .groupBy(F.window("warc_ts", window).alias("w"), "lang")
+        .agg(F.count("*").alias("n_pages"))
+        .select(F.col("w.start").alias("window_start"), "lang", "n_pages")
+    )
+
+
+def seed_ingest_stream(
+    seed_stream: DataFrame,
+    engine: CrawlEngine,
+    rounds_per_batch: int = 3,
+    checkpoint_dir: str | None = None,
+):
+    """seeds(url, depth) stream -> frontier MERGE + crawl rounds per
+    micro-batch. Returns the StreamingQuery (caller awaits/stops)."""
+
+    def _on_batch(batch: DataFrame, batch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        rows = (
+            batch.select(
+                canonicalize_url(F.col("url")).alias("canon_url"),
+                F.col("url"),
+                F.col("depth").cast("int").alias("depth"),
+            )
+            .withColumn("url_hash", url_hash(F.col("canon_url")))
+            .withColumn("registered_domain", registered_domain(F.col("canon_url")))
+            .withColumn("discovery_ts", F.lit(0).cast("long"))
+            .withColumn("state", F.lit("pending"))
+            .dropDuplicates(["url_hash"])
+            .select(*FRONTIER_COLS)
+        )
+        if engine.frontier.exists():
+            # existing rows win (seen-set semantics for re-submitted seeds)
+            cur = engine.frontier.read()
+            fresh = rows.join(cur.select("url_hash"), "url_hash", "left_anti")
+            engine.frontier.write_snapshot(cur.unionByName(fresh))
+            engine._n_frontier = None  # recount lazily next round
+        else:
+            engine.frontier.write_snapshot(rows)
+            engine._n_frontier = None
+        engine.run(max_rounds=rounds_per_batch)
+
+    writer = seed_stream.writeStream.foreachBatch(_on_batch).trigger(
+        availableNow=True
+    )
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    return writer.start()

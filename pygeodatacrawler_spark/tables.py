@@ -26,8 +26,16 @@ import pyspark.sql.functions as F
 
 
 class SnapshotTable:
-    def __init__(self, spark: SparkSession, root: str, name: str):
+    """``log=False`` (default): each version is the full table state
+    (overwrite/merge semantics — the frontier). ``log=True``: each
+    version is a delta and ``read()`` unions all committed versions
+    (append-only tables — records/visits/lineage); this keeps appends
+    O(batch) instead of O(history) per round, like Iceberg's manifest
+    of data files."""
+
+    def __init__(self, spark: SparkSession, root: str, name: str, log: bool = False):
         self.spark = spark
+        self.log = log
         self.dir = os.path.join(root, name)
         self.meta_path = os.path.join(self.dir, "_meta.json")
         os.makedirs(self.dir, exist_ok=True)
@@ -60,6 +68,9 @@ class SnapshotTable:
         v = self.latest_version() if version is None else version
         if v is None:
             raise FileNotFoundError(f"snapshot table {self.dir} has no snapshots")
+        if self.log:
+            dirs = [self._vdir(x) for x in self._versions() if x <= v]
+            return self.spark.read.parquet(*dirs)
         return self.spark.read.parquet(self._vdir(v))
 
     def write_snapshot(self, df: DataFrame) -> int:
@@ -70,7 +81,13 @@ class SnapshotTable:
         self._commit(versions + [v])
         return v
 
-    def merge_upsert(self, batch: DataFrame, key: str, order_col: str | None = None) -> int:
+    def merge_upsert(
+        self,
+        batch: DataFrame,
+        key: str,
+        order_col: str | None = None,
+        current: DataFrame | None = None,
+    ) -> int:
         """MERGE INTO semantics: batch rows win on key collision.
 
         Iceberg equivalent: WHEN MATCHED THEN UPDATE SET * WHEN NOT
@@ -79,7 +96,9 @@ class SnapshotTable:
         batch). Copy-on-write of the whole table — fine for sandbox
         scale; Iceberg's merge-on-read replaces this at 10^10 rows.
         """
-        if self.exists():
+        if current is not None:
+            cur = current.withColumn("_src", F.lit(0))
+        elif self.exists():
             cur = self.read().withColumn("_src", F.lit(0))
         else:
             cur = None
@@ -97,9 +116,9 @@ class SnapshotTable:
         return self.write_snapshot(merged)
 
     def append(self, batch: DataFrame) -> int:
-        if self.exists():
-            return self.write_snapshot(self.read().unionByName(batch))
-        return self.write_snapshot(batch)
+        if self.log or not self.exists():
+            return self.write_snapshot(batch)
+        return self.write_snapshot(self.read().unionByName(batch))
 
     def drop(self) -> None:
         shutil.rmtree(self.dir, ignore_errors=True)

@@ -27,7 +27,7 @@ def crawl_result(spark):
         )
         eng.init_from_seeds(seeds)
         eng.run(max_rounds=30)
-        visits = eng.visits.read().collect()
+        visits = eng.visits_view().collect()
         frontier = eng.frontier.read().collect()
         records = eng.records.read().collect()
         lineage = eng.lineage.read().collect()
