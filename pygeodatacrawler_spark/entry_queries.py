@@ -798,6 +798,170 @@ where starts_with(tok, 's')
 
 
 # =====================================================================
+# cascade match (J3), hexcolor (C6), json extract (C15), rollup,
+# distinct agg, lag deltas, media decode plumbing
+# =====================================================================
+def q_cascade_match(spark, sf_dir):
+    # J3 checkOWSLayer 3-stage fallback: match each order to a customer
+    # name by (1) custkey + BUILDING segment, (2) custkey + AUTOMOBILE,
+    # (3) custkey any segment — first stage with a match wins
+    from pygeodatacrawler_spark.operators.joins import cascade_match
+
+    o = _table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = _table(spark, sf_dir, "customer")
+    stages = [
+        (
+            "building",
+            c.filter(F.col("c_mktsegment") == "BUILDING"),
+            F.col("l.o_custkey") == F.col("r.c_custkey"),
+        ),
+        (
+            "automobile",
+            c.filter(F.col("c_mktsegment") == "AUTOMOBILE"),
+            F.col("l.o_custkey") == F.col("r.c_custkey"),
+        ),
+        ("any", c, F.col("l.o_custkey") == F.col("r.c_custkey")),
+    ]
+    return cascade_match(o, "o_orderkey", stages, pick="c_name")
+
+
+SQL_CASCADE = """
+with s1 as (select o_orderkey, min(c_name) as m1 from orders
+            join customer on o_custkey = c_custkey and c_mktsegment = 'BUILDING'
+            group by o_orderkey),
+     s2 as (select o_orderkey, min(c_name) as m2 from orders
+            join customer on o_custkey = c_custkey and c_mktsegment = 'AUTOMOBILE'
+            group by o_orderkey),
+     s3 as (select o_orderkey, min(c_name) as m3 from orders
+            join customer on o_custkey = c_custkey group by o_orderkey)
+select o.o_orderkey, o.o_custkey,
+       coalesce(m1, m2, m3) as matched,
+       case when m1 is not null then 'building'
+            when m2 is not null then 'automobile'
+            when m3 is not null then 'any' end as match_stage
+from orders o
+left join s1 using (o_orderkey)
+left join s2 using (o_orderkey)
+left join s3 using (o_orderkey)
+"""
+
+
+def q_hexcolor(spark, sf_dir):
+    # C6 hexcolor (mapfile.py:471-481): rgb ints -> #rrggbb
+    p = _table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.format_string(
+            "#%02x%02x%02x",
+            F.pmod(F.col("p_partkey"), F.lit(256)).cast("int"),
+            F.pmod(F.col("p_size") * 7, F.lit(256)).cast("int"),
+            F.pmod(F.col("p_retailprice").cast("int"), F.lit(256)).cast("int"),
+        ).alias("color"),
+    )
+
+
+SQL_HEXCOLOR = """
+select p_partkey,
+       printf('#%02x%02x%02x',
+              (p_partkey % 256)::INT,
+              ((p_size * 7) % 256)::INT,
+              (floor(p_retailprice)::INT % 256)::INT) as color
+from part
+"""
+
+
+def q_json_extract(spark, sf_dir):
+    # C15 JSON response parsing (parseDataCite/parseCrossref shape)
+    ev = _table(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.get_json_object(F.col("props"), "$.k").cast("long").alias("k"),
+    )
+
+
+SQL_JSON_EXTRACT = """
+select event_id, (props->>'k')::BIGINT as k from events
+"""
+
+
+def q_rollup(spark, sf_dir):
+    ev = _table(spark, sf_dir, "events")
+    return (
+        ev.rollup("event_type")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .select(
+            F.coalesce(F.col("event_type"), F.lit("ALL")).alias("event_type"),
+            "n",
+            "sum_value",
+        )
+    )
+
+
+SQL_ROLLUP = """
+select coalesce(event_type, 'ALL') as event_type, count(*) as n,
+       round(sum(value), 2) as sum_value
+from events group by rollup(event_type)
+"""
+
+
+def q_distinct_agg(spark, sf_dir):
+    ev = _table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_users"),
+        F.count("*").alias("n_events"),
+    )
+
+
+SQL_DISTINCT_AGG = """
+select event_type, count(distinct user_id) as n_users, count(*) as n_events
+from events group by event_type
+"""
+
+
+def q_value_delta(spark, sf_dir):
+    # lag/lead deltas per user over the event stream
+    ev = _table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.round(
+            F.col("value") - F.coalesce(F.lag("value").over(w), F.lit(0.0)), 2
+        ).alias("delta"),
+    )
+
+
+SQL_VALUE_DELTA = """
+select user_id, event_id,
+       round(value - coalesce(lag(value) over
+             (partition by user_id order by ts, event_id), 0.0), 2) as delta
+from events
+"""
+
+
+def q_media_decode(spark, sf_dir):
+    # multimodal plumbing: binary payload -> typed metadata (fake decode;
+    # deterministic function of the bytes, so SQL can oracle it)
+    from pygeodatacrawler_spark.operators.media import decode_media
+
+    d = _table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.encode(F.col("text"), "utf-8").alias("payload"),
+        F.lit("text/fake").alias("media_type"),
+    )
+    return decode_media(d, "payload", "media_type", "doc_id")
+
+
+SQL_MEDIA_DECODE = """
+select doc_id, 'text/fake' as media_type,
+       octet_length(encode(text))::BIGINT as n_bytes,
+       (octet_length(encode(text)) % 640 + 1)::INT as width,
+       (octet_length(encode(text)) % 480 + 1)::INT as height
+from documents
+"""
+
+
+# =====================================================================
 # registry
 # =====================================================================
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -831,6 +995,13 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dict_merge": q_dict_merge,
         "crawl_bfs": q_crawl_bfs,
         "explode_tokens": q_explode_tokens,
+        "cascade_match": q_cascade_match,
+        "hexcolor": q_hexcolor,
+        "json_extract": q_json_extract,
+        "rollup": q_rollup,
+        "distinct_agg": q_distinct_agg,
+        "value_delta": q_value_delta,
+        "media_decode": q_media_decode,
     }
 
 
@@ -865,4 +1036,11 @@ def all_oracle_sql() -> dict[str, str]:
         "dict_merge": SQL_DICT_MERGE,
         "crawl_bfs": SQL_CRAWL_BFS,
         "explode_tokens": SQL_EXPLODE,
+        "cascade_match": SQL_CASCADE,
+        "hexcolor": SQL_HEXCOLOR,
+        "json_extract": SQL_JSON_EXTRACT,
+        "rollup": SQL_ROLLUP,
+        "distinct_agg": SQL_DISTINCT_AGG,
+        "value_delta": SQL_VALUE_DELTA,
+        "media_decode": SQL_MEDIA_DECODE,
     }

@@ -64,11 +64,26 @@ def run_at(cpus: int, data_dir: str) -> dict:
     from pygeodatacrawler_spark.plans.crawl import CrawlEngine
     from pygeodatacrawler_spark.session import get_spark
 
-    spark = get_spark(f"scaling-{cpus}", master=f"local[{cpus}]")
-    pages = spark.read.parquet(f"{data_dir}/pages.parquet").cache()
+    spark = get_spark(
+        f"scaling-{cpus}",
+        master=f"local[{cpus}]",
+        # small corpus, many cores: default 128MB splits give ~5 scan
+        # tasks and would serialize the first stage at any core count
+        extra_conf={"spark.sql.files.maxPartitionBytes": str(16 * 1024 * 1024)},
+    )
+    par = spark.sparkContext.defaultParallelism
+    # repartition BEFORE cache: the cache keeps its partitioning, and every
+    # downstream stage inherits it — cache at scan granularity (~5 parts)
+    # would bottleneck all of them
+    pages = spark.read.parquet(f"{data_dir}/pages.parquet").repartition(par).cache()
     n_pages = pages.count()  # materialize cache before timing
     seeds = spark.read.parquet(f"{data_dir}/seeds.parquet")
     robots = spark.read.parquet(f"{data_dir}/robots.parquet")
+
+    # warm up Python UDF workers so worker spawn isn't in the timings
+    pages.limit(1000).select("url", "html").mapInPandas(
+        extract_pages_batches, schema=EXTRACT_SCHEMA
+    ).count()
 
     # job 1: full crawl loop
     workdir = tempfile.mkdtemp(prefix=f"scale{cpus}_")
@@ -80,7 +95,6 @@ def run_at(cpus: int, data_dir: str) -> dict:
     shutil.rmtree(workdir, ignore_errors=True)
 
     # job 2: mega-round fetch+dedup batch over the whole corpus
-    par = spark.sparkContext.defaultParallelism
     t0 = time.monotonic()
     extracted = (
         pages.select("url", "html")
