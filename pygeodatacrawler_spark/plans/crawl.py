@@ -33,6 +33,8 @@ heavy hosts are salted before the fetch stage (operators/frontier.py).
 
 from __future__ import annotations
 
+import json
+import os
 import time
 from dataclasses import dataclass, field
 
@@ -86,9 +88,12 @@ class CrawlEngine:
         self.bloom_buckets = bloom_buckets
         self.salt_threshold = salt_threshold
         self.frontier = SnapshotTable(spark, workdir, "frontier")
-        # append-log tables: O(batch) appends, read() unions the log
+        # append-log table: O(batch) appends, read() unions the log
         self.records = SnapshotTable(spark, workdir, "records", log=True)
-        self.lineage = SnapshotTable(spark, workdir, "lineage", log=True)
+        # lineage is driver-collected metrics: one JSONL line per round,
+        # flushed before the round is considered committed (resume reads
+        # it) — an atomic file append, not a Spark write job per round
+        self.lineage_path = os.path.join(workdir, "lineage.jsonl")
         self.stats = CrawlStats()
         # driver-side frontier-size counter: sizes the bloom without a
         # count() action per round; re-derived from the snapshot on resume
@@ -118,10 +123,30 @@ class CrawlEngine:
 
     def resume_round(self) -> int:
         """Next round number implied by committed lineage (for resume)."""
-        if not self.lineage.exists():
-            return 0
-        row = self.lineage.read().agg(F.max("round").alias("r")).collect()[0]
-        return int(row["r"]) + 1 if row["r"] is not None else 0
+        rounds = [l["round"] for l in self._read_lineage()]
+        return max(rounds) + 1 if rounds else 0
+
+    def _read_lineage(self) -> list[dict]:
+        if not os.path.exists(self.lineage_path):
+            return []
+        with open(self.lineage_path) as f:
+            return [json.loads(line) for line in f if line.strip()]
+
+    def _append_lineage(self, line: dict) -> None:
+        with open(self.lineage_path, "a") as f:
+            f.write(json.dumps(line) + "\n")
+            f.flush()
+            os.fsync(f.fileno())
+
+    def lineage_df(self) -> DataFrame:
+        """Lineage as a DataFrame (for export/inspection)."""
+        return self.spark.createDataFrame(
+            self._read_lineage(),
+            schema=(
+                "round int, rows_in long, rows_out long, n_records long, "
+                "n_parts int, skew double, wall_s double"
+            ),
+        )
 
     # -- one round ---------------------------------------------------------
     def run_round(self, round_no: int) -> dict:
@@ -147,15 +172,20 @@ class CrawlEngine:
         n_parts = len(pstats)
         skew = max(r["rows"] for r in pstats) / (n_batch / n_parts)
 
-        # fetch: canon_url joins the pages store (stand-in for HTTP stage)
-        fetched = batch.join(
-            self.pages.select(F.col("url").alias("page_url"), "html", "warc_ts"),
-            batch["canon_url"] == F.col("page_url"),
-            "left",
+        # fetch (HTTP stand-in): probe the pages store with the batch keys.
+        # The batch side is tiny (hosts x budget keys) -> broadcast it and
+        # INNER-join so the big pages side is a map-only scan-probe (no
+        # shuffle of page bytes, ever); batch rows without a page fall out
+        # here and come back as null-text records via the left join below
+        # (the 404 analog). Extraction runs directly on the probe output,
+        # so html bytes die in the same stage they were read.
+        hits = self.pages.join(
+            F.broadcast(batch.select(F.col("canon_url").alias("page_url"))),
+            self.pages["url"] == F.col("page_url"),
+            "inner",
         )
-
         extracted = (
-            fetched.select(F.col("canon_url").alias("url"), "html")
+            hits.select(F.col("page_url").alias("url"), "html")
             .mapInPandas(extract_pages_batches, schema=EXTRACT_SCHEMA)
         )
         records = (
@@ -257,15 +287,7 @@ class CrawlEngine:
             "skew": float(skew),
             "wall_s": wall,
         }
-        self.lineage.append(
-            self.spark.createDataFrame(
-                [line],
-                schema=(
-                    "round int, rows_in long, rows_out long, n_records long, "
-                    "n_parts int, skew double, wall_s double"
-                ),
-            )
-        )
+        self._append_lineage(line)
         batch.unpersist()
         records.unpersist()
         new_links.unpersist()

@@ -30,7 +30,7 @@ def crawl_result(spark):
         visits = eng.visits_view().collect()
         frontier = eng.frontier.read().collect()
         records = eng.records.read().collect()
-        lineage = eng.lineage.read().collect()
+        lineage = eng.lineage_df().collect()
     oracle = crawl_oracle(
         pages_pd, seeds_pd, robots_pd, host_budget=BUDGET, max_rounds=30
     )

@@ -1,0 +1,106 @@
+"""Dedup + similarity operators on planted cases (complementing the
+value-level oracle checks in tools/check_correctness.py)."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from pygeodatacrawler_spark.operators.dedup import (
+    dedup_exact,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_buckets,
+)
+from pygeodatacrawler_spark.operators.similarity import (
+    brute_force_topk,
+    embedding_near_dupes,
+    lsh_topk,
+)
+
+DOCS = [
+    (1, "the quick brown fox jumps over the lazy dog near the river bank"),
+    (2, "the quick brown fox jumps over the lazy dog near the river bend"),  # near-dup of 1
+    (3, "spark shuffles partitions across the cluster during wide joins"),
+    (4, "the quick brown fox jumps over the lazy dog near the river bank"),  # exact dup of 1
+    (5, "completely different content about metadata catalogs and harvest"),
+]
+
+
+def _docs(spark):
+    return spark.createDataFrame(DOCS, "doc_id long, text string")
+
+
+def test_dedup_exact_keeps_min_id(spark):
+    out = dedup_exact(_docs(spark), "text", "doc_id")
+    ids = {r["doc_id"] for r in out.collect()}
+    assert ids == {1, 2, 3, 5}  # 4 dropped (exact dup of 1, higher id)
+
+
+def test_minhash_lsh_finds_near_dup(spark):
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in minhash_lsh_pairs(
+            _docs(spark), "doc_id", "text", k=8, bands=8
+        ).collect()
+    }
+    assert (1, 4) in pairs  # exact dup always collides
+    assert (1, 2) in pairs  # near-dup shares most shingles
+    assert (3, 5) not in pairs
+
+
+def test_ngram_jaccard_scores(spark):
+    out = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(
+            _docs(spark), "doc_id", "text", shingle_n=3, threshold=0.5
+        ).collect()
+    }
+    assert out[(1, 4)] == 1.0
+    assert 0.5 <= out[(1, 2)] < 1.0
+    assert (3, 5) not in out
+
+
+def test_simhash_identical_docs_equal(spark):
+    sigs = {r["doc_id"]: r["simhash"] for r in simhash_buckets(
+        _docs(spark), "doc_id", "text").collect()}
+    assert sigs[1] == sigs[4]
+    assert bin(sigs[1] ^ sigs[2]).count("1") <= 6  # near-dup: small hamming
+    assert sigs[1] != sigs[3]
+
+
+def _vectors(spark):
+    rows = []
+    for i in range(20):
+        base = [(1.0 if (i + d) % 7 == 0 else 0.1 * ((i * d) % 5)) for d in range(8)]
+        rows.append((i, base))
+    rows.append((100, rows[0][1]))  # exact embedding dup of vec 0
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+def test_brute_force_topk_self_excluded(spark):
+    vecs = _vectors(spark)
+    out = brute_force_topk(vecs, vecs.filter(F.col("vec_id") == 0), k=3)
+    rows = sorted(out.collect(), key=lambda r: r["rank"])
+    assert [r["query_id"] for r in rows] == [0, 0, 0]
+    assert rows[0]["neighbor_id"] == 100 and rows[0]["cos_sim"] == 1.0
+    assert all(r["neighbor_id"] != 0 for r in rows)
+
+
+def test_embedding_near_dupes_finds_planted(spark):
+    vecs = _vectors(spark)
+    pairs = {
+        (r["id_a"], r["id_b"]): r["cos_sim"]
+        for r in embedding_near_dupes(
+            vecs, threshold=0.999, n_planes=3, n_dims=8
+        ).collect()
+    }
+    assert (0, 100) in pairs and pairs[(0, 100)] == 1.0
+
+
+def test_lsh_topk_approximates(spark):
+    vecs = _vectors(spark)
+    out = lsh_topk(
+        vecs, vecs.filter(F.col("vec_id") == 0), k=3, n_planes=2, n_dims=8
+    ).collect()
+    # the planted exact dup shares every LSH bucket with its twin
+    assert any(r["neighbor_id"] == 100 and r["cos_sim"] == 1.0 for r in out)
