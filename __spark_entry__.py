@@ -29,10 +29,11 @@ def entry(spark: SparkSession) -> DataFrame:
     import pyspark.sql.functions as F
 
     from pygeodatacrawler_spark.functions.quality import (
-        fingerprint,
+        fingerprint_from_tokens,
         lang_id,
         quality_score,
         token_count,
+        tokens,
     )
 
     sf_dir = "/root/testdata/sf0.001"
@@ -40,10 +41,15 @@ def entry(spark: SparkSession) -> DataFrame:
     return docs.select(
         "doc_id",
         "source",
+        "text",
+        tokens(F.col("text")).alias("_toks"),
+    ).select(
+        "doc_id",
+        "source",
         token_count(F.col("text")).alias("token_cnt"),
         lang_id(F.col("text")).alias("lang_pred"),
         quality_score(F.col("text")).alias("q_score"),
-        fingerprint(F.col("text"), 3).alias("fp"),
+        fingerprint_from_tokens(F.col("_toks"), 3).alias("fp"),
     )
 
 

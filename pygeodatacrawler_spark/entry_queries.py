@@ -606,10 +606,12 @@ from m
 
 
 def q_fingerprint(spark, sf_dir):
-    from pygeodatacrawler_spark.functions.quality import fingerprint
+    from pygeodatacrawler_spark.functions.quality import fingerprint_from_tokens
 
     d = _table(spark, sf_dir, "documents")
-    return d.select("doc_id", fingerprint(F.col("text"), 3).alias("fp"))
+    return d.select("doc_id", tokens(F.col("text")).alias("_toks")).select(
+        "doc_id", fingerprint_from_tokens(F.col("_toks"), 3).alias("fp")
+    )
 
 
 SQL_FINGERPRINT = (

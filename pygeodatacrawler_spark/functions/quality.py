@@ -81,6 +81,24 @@ def quality_score(text: Column) -> Column:
     )
 
 
+def ngrams_from_tokens(toks: Column, n: int) -> Column:
+    """n-grams from an ALREADY MATERIALIZED token array column.
+
+    Callers should project the token array first (one regex split per
+    row) and pass the column reference here: inlining tokens(text) into
+    the gram lambda makes Catalyst re-evaluate the split per element_at
+    — measured 10x slower on the shingle pipeline.
+    """
+    grams = F.transform(
+        F.sequence(F.lit(0), F.size(toks) - n),
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(toks, (i + j + 1).cast("int")) for j in range(n)]
+        ),
+    )
+    # sequence(0, k) with k<0 counts DOWN — guard short texts explicitly
+    return F.when(F.size(toks) < n, F.array().cast("array<string>")).otherwise(grams)
+
+
 def word_ngrams(text: Column, n: int) -> Column:
     """Array of space-joined word n-grams (shingles)."""
     toks = tokens(text)
@@ -94,11 +112,19 @@ def word_ngrams(text: Column, n: int) -> Column:
     return F.when(F.size(toks) < n, F.array().cast("array<string>")).otherwise(grams)
 
 
+def fingerprint_from_tokens(toks: Column, n: int = 3) -> Column:
+    """Fingerprint from a materialized token array column (fast path)."""
+    grams = ngrams_from_tokens(toks, n)
+    return F.array_min(F.transform(grams, lambda g: md5_long(g)))
+
+
 def fingerprint(text: Column, n: int = 3) -> Column:
     """Rolling-hash document fingerprint: min md5-hash over word n-grams.
 
     A 1-permutation MinHash — stable under token reordering-free edits,
-    portable to the SQL oracle via md5_long.
+    portable to the SQL oracle via md5_long. Prefer the two-step
+    tokens() + fingerprint_from_tokens() in hot paths (see
+    ngrams_from_tokens for why).
     """
     grams = word_ngrams(text, n)
     return F.array_min(F.transform(grams, lambda g: md5_long(g)))

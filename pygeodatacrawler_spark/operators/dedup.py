@@ -29,7 +29,11 @@ from pygeodatacrawler_spark.functions.hashes import (
     minhash_params,
     minhash_perm,
 )
-from pygeodatacrawler_spark.functions.quality import tokens, word_ngrams
+from pygeodatacrawler_spark.functions.quality import (
+    ngrams_from_tokens,
+    tokens,
+    word_ngrams,
+)
 
 
 def dedup_exact(df: DataFrame, content_col: str, id_col: str) -> DataFrame:
@@ -58,9 +62,16 @@ def minhash_signature(
     computed map-side, one shuffle total, no K-fold re-scan.
     """
     params = minhash_params(k)
-    grams = df.select(
-        F.col(id_col), F.explode(word_ngrams(F.col(text_col), shingle_n)).alias("g")
-    ).withColumn("h", md5_long(F.col("g")))
+    # two-step: tokenize once per row, THEN shingle from the column —
+    # see ngrams_from_tokens (inlined split re-evaluates per gram)
+    grams = (
+        df.select(F.col(id_col), tokens(F.col(text_col)).alias("_toks"))
+        .select(
+            F.col(id_col),
+            F.explode(ngrams_from_tokens(F.col("_toks"), shingle_n)).alias("g"),
+        )
+        .withColumn("h", md5_long(F.col("g")))
+    )
     aggs = [
         F.min(minhash_perm(F.col("h"), a, b)).alias(f"mh{i}")
         for i, (a, b) in enumerate(params)
@@ -115,16 +126,16 @@ def minhash_lsh_pairs(
     )
 
 
-def simhash64(text: Column, prefix_bits: int = 16) -> Column:
-    """SimHash signature over word tokens, restricted to prefix_bits bits.
+def simhash_from_hashes(hashes: Column, prefix_bits: int = 16) -> Column:
+    """SimHash from a MATERIALIZED array of token hashes.
 
     Weighted-bit-vote construction (Charikar 2002): each token votes
     +1/-1 per bit of its hash; signature bit = sign of the sum. Kept to
     16 bits here so the whole computation stays in portable integer SQL
-    (the oracle reproduces it exactly); production uses 64.
+    (the oracle reproduces it exactly); production uses 64. The hash
+    array must be a column reference — inlining it makes Catalyst
+    recompute every md5 once per bit position.
     """
-    toks = tokens(text)
-    hashes = F.transform(toks, lambda t: md5_long(t))
     bit_votes = [
         F.aggregate(
             hashes,
@@ -144,8 +155,13 @@ def simhash_buckets(
     df: DataFrame, id_col: str, text_col: str, prefix_bits: int = 16
 ) -> DataFrame:
     """(id, simhash) — group by signature to find near-dup clusters."""
-    return df.select(
-        F.col(id_col), simhash64(F.col(text_col), prefix_bits).alias("simhash")
+    hashed = df.select(
+        F.col(id_col),
+        F.transform(tokens(F.col(text_col)), lambda t: md5_long(t)).alias("_h"),
+    )
+    return hashed.select(
+        F.col(id_col),
+        simhash_from_hashes(F.col("_h"), prefix_bits).alias("simhash"),
     )
 
 
@@ -165,11 +181,12 @@ def ngram_jaccard_pairs(
     exact-but-heavier.
     """
     grams = (
-        df.select(
-            F.col(id_col).alias("id"),
-            F.explode(F.array_distinct(word_ngrams(F.col(text_col), shingle_n))).alias(
-                "g"
-            ),
+        df.select(F.col(id_col).alias("id"), tokens(F.col(text_col)).alias("_toks"))
+        .select(
+            F.col("id"),
+            F.explode(
+                F.array_distinct(ngrams_from_tokens(F.col("_toks"), shingle_n))
+            ).alias("g"),
         )
     )
     sizes = grams.groupBy("id").agg(F.count("*").alias("n"))
