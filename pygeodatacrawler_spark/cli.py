@@ -1,0 +1,127 @@
+"""CLI — the spark-submit entry points mirroring the reference's
+`crawl-metadata` / `crawl-maps` commands (pyproject.toml:35-38 of the
+reference declares Click CLIs; here one argparse module, submitted as
+``spark-submit --py-files pygeodatacrawler_spark.zip -m`` or plain
+``python -m pygeodatacrawler_spark.cli``).
+
+Subcommands:
+  crawl    — run the frontier loop over a pages parquet (or the
+             synthetic fixture corpus) into a workdir of snapshot
+             tables; resumable by re-running with the same workdir.
+  harvest  — metadata harvest pass over pages parquet -> records
+             parquet (sniff + checkId + optional config inheritance).
+  export   — render harvested records to a profile (json/xml) sink.
+  catalog  — per-domain catalog rollup + rendered catalog documents
+             (the crawl-maps analog).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def _add_common(p: argparse.ArgumentParser) -> None:
+    p.add_argument("--master", default=None, help="spark master (default local[$SPARK_GRAFT_CPUS])")
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser(prog="pygeodatacrawler-spark")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    c = sub.add_parser("crawl", help="run the distributed crawl loop")
+    c.add_argument("--pages", help="pages parquet path (default: synthetic fixture corpus)")
+    c.add_argument("--seeds", help="seeds parquet path (url, depth)")
+    c.add_argument("--robots", help="robots parquet path")
+    c.add_argument("--workdir", required=True, help="snapshot-table directory (resume point)")
+    c.add_argument("--host-budget", type=int, default=100)
+    c.add_argument("--max-rounds", type=int, default=100)
+    c.add_argument("--fixture-pages", type=int, default=2000)
+    _add_common(c)
+
+    h = sub.add_parser("harvest", help="metadata harvest pass")
+    h.add_argument("--pages", required=True)
+    h.add_argument("--config", help="config parquet (prefix, title, abstract, keywords)")
+    h.add_argument("--out", required=True, help="records parquet output")
+    _add_common(h)
+
+    e = sub.add_parser("export", help="render records to a profile sink")
+    e.add_argument("--records", required=True)
+    e.add_argument("--profile", choices=["json", "xml"], default="json")
+    e.add_argument("--out", required=True)
+    _add_common(e)
+
+    g = sub.add_parser("catalog", help="per-domain catalog rollup + render")
+    g.add_argument("--records", required=True)
+    g.add_argument("--out", required=True)
+    _add_common(g)
+
+    args = ap.parse_args(argv)
+
+    from pygeodatacrawler_spark.session import get_spark
+
+    spark = get_spark(f"pygdc-{args.cmd}", master=args.master)
+    try:
+        if args.cmd == "crawl":
+            from pygeodatacrawler_spark.fixtures import load_pages
+            from pygeodatacrawler_spark.plans.crawl import CrawlEngine
+
+            if args.pages:
+                pages = spark.read.parquet(args.pages)
+                seeds = spark.read.parquet(args.seeds) if args.seeds else None
+                robots = spark.read.parquet(args.robots) if args.robots else None
+            else:
+                pages, seeds, robots = load_pages(spark, n_pages=args.fixture_pages)
+            eng = CrawlEngine(
+                spark, args.workdir, pages, robots, host_budget=args.host_budget
+            )
+            if not eng.frontier.exists():
+                if seeds is None:
+                    raise SystemExit("--seeds required for a fresh workdir")
+                eng.init_from_seeds(seeds)
+            stats = eng.run(max_rounds=args.max_rounds)
+            print(
+                json.dumps(
+                    {
+                        "rounds": stats.rounds,
+                        "urls_fetched": stats.urls_fetched,
+                        "urls_discovered": stats.urls_discovered,
+                    }
+                )
+            )
+        elif args.cmd == "harvest":
+            from pygeodatacrawler_spark.operators.harvest import (
+                apply_config,
+                harvest_metadata,
+            )
+
+            pages = spark.read.parquet(args.pages)
+            recs = harvest_metadata(pages)
+            if args.config:
+                recs = apply_config(recs, spark.read.parquet(args.config))
+            recs.write.mode("overwrite").parquet(args.out)
+            print(json.dumps({"records": spark.read.parquet(args.out).count()}))
+        elif args.cmd == "export":
+            from pygeodatacrawler_spark.operators.harvest import valid_records
+            from pygeodatacrawler_spark.sources.export import write_exports
+
+            recs = valid_records(spark.read.parquet(args.records))
+            write_exports(recs, args.out, args.profile)
+            print(json.dumps({"exported": spark.read.parquet(args.out).count()}))
+        elif args.cmd == "catalog":
+            from pygeodatacrawler_spark.operators.harvest import (
+                render_catalog,
+                valid_records,
+            )
+
+            recs = valid_records(spark.read.parquet(args.records))
+            render_catalog(recs).write.mode("overwrite").parquet(args.out)
+            print(json.dumps({"catalogs": spark.read.parquet(args.out).count()}))
+    finally:
+        spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
