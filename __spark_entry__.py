@@ -36,6 +36,13 @@ def entry(spark: SparkSession) -> DataFrame:
         tokens,
     )
 
+    from pygeodatacrawler_spark.session import _ship_package
+
+    try:
+        _ship_package(spark)
+    except Exception:
+        pass
+
     sf_dir = "/root/testdata/sf0.001"
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     return docs.select(
@@ -54,7 +61,24 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return all_queries()
+    """Each callable first ships the package zip to the session's
+    executors (no-op if already shipped): pandas UDFs pickle module
+    functions by reference, and the driver's SparkSession may not have
+    been built by our get_spark."""
+
+    def _wrap(fn):
+        def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+            from pygeodatacrawler_spark.session import _ship_package
+
+            try:
+                _ship_package(spark)
+            except Exception:
+                pass  # already added or local path importable anyway
+            return fn(spark, sf_dir)
+
+        return run
+
+    return {name: _wrap(fn) for name, fn in all_queries().items()}
 
 
 def oracle_sql() -> dict[str, str]:
