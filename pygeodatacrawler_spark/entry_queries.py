@@ -684,7 +684,7 @@ select doc_id, canon,
                  '([^.]+\\.[^.]+)$', 1) as domain,
   len(list_filter(string_split(regexp_extract(canon, '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^?#]*)', 1), '/'),
                   x -> x <> '')) as depth,
-  translate(canon, '# !+/\\:;()[]{{}}&~%,''', '--------') as fname
+  translate(canon, '# !/\\:;()[]{{}}&~%+,', '-------') as fname
 from canon
 """
 

@@ -7,7 +7,7 @@ sanitizer as pure Catalyst Column expressions (JVM-side, codegen'd):
   drops (``request service version layers typeNames exceptions
   outputFormat``, see /root/reference/geodatacrawler/utils.py:274-285),
   lowercase scheme+host, default empty path to ``/``.
-- safe_filename: strip ``()[]{}&~%,'`` and map ``# !+/\\:;`` to ``-``
+- safe_filename: strip ``()[]{}&~%+,`` and map ``# !/\\:;`` to ``-``
   (utils.py:865-874); the reference's unidecode ASCII-folding step is
   out of scope for the synthetic ASCII corpus and would be a pandas UDF.
 
@@ -27,9 +27,12 @@ import pyspark.sql.functions as F
 # (utils.py:274-285 keeps e.g. `map=` but drops the OWS protocol params).
 _STRIP_PARAMS = r"(?i:request|service|version|layers|typenames|exceptions|outputformat)"
 
-# chars deleted / mapped to '-' by safeFileName (utils.py:865-874)
-_DELETE_CHARS = "()[]{}&~%,'"
-_DASH_CHARS = "# !+/\\:;"
+# chars deleted / mapped to '-' by safeFileName (utils.py:865-874).
+# '+' is in the reference's FIRST (delete) loop, so although it also
+# appears in the dash list it is already gone by then — net effect:
+# deleted. Apostrophe is untouched by the reference.
+_DELETE_CHARS = "()[]{}&~%+,"
+_DASH_CHARS = "# !/\\:;"
 
 
 def canonicalize_url(url: Column) -> Column:
@@ -108,7 +111,8 @@ def safe_filename(name: Column) -> Column:
     """safeFileName semantics (utils.py:865-874) as translate() exprs.
 
     translate() maps positionally and deletes chars past the end of the
-    replacement string — so the dash-mapped chars come first.
+    replacement string — so the dash-mapped chars come first. '+' is
+    deleted (reference's first loop wins); apostrophes pass through.
     """
     return F.translate(name, _DASH_CHARS + _DELETE_CHARS, "-" * len(_DASH_CHARS))
 

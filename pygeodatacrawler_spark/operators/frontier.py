@@ -76,6 +76,21 @@ def pick_batch(
     )
 
 
+def repartition_for_fetch(
+    batch: DataFrame, num_partitions: int | None = None
+) -> DataFrame:
+    """Pin partitions before the CPU-bound extract UDF.
+
+    Explicit partition count: an unpinned repartition lets AQE coalesce
+    tiny batches onto 1-2 tasks and serialize the Python workers. 3x the
+    core count, not 1x: with one task per core a single straggler host
+    leaves cores idle at the stage tail (measured 2x on extract).
+    Expects a ``salt`` column (0 for unsalted hosts)."""
+    if num_partitions is None:
+        num_partitions = 3 * batch.sparkSession.sparkContext.defaultParallelism
+    return batch.repartition(num_partitions, "registered_domain", "salt")
+
+
 def salt_heavy_hosts(
     batch: DataFrame,
     salt_buckets: int = 8,
@@ -101,12 +116,4 @@ def salt_heavy_hosts(
         )
         .drop("_n")
     )
-    # explicit partition count: the downstream extract UDF is CPU-bound,
-    # so pin partitions even when the bytes are small — an unpinned
-    # repartition lets AQE coalesce tiny batches onto 1-2 tasks and
-    # serialize the Python workers. 3x the core count, not 1x: with one
-    # task per core a single straggler host leaves cores idle at the
-    # stage tail (measured 2x on the extract stage).
-    if num_partitions is None:
-        num_partitions = 3 * batch.sparkSession.sparkContext.defaultParallelism
-    return salted.repartition(num_partitions, "registered_domain", "salt")
+    return repartition_for_fetch(salted, num_partitions)

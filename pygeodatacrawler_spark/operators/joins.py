@@ -36,7 +36,10 @@ def sidecar_join(
         "_prio",
         F.when(prio == 0, F.lit(len(ext_priority) + 1)).otherwise(prio),
     )
-    w = Window.partitionBy(on).orderBy("_prio", ext_col)
+    # partition by the full record identity, not just the join key:
+    # two distinct records sharing a basename must EACH keep their best
+    # file (keying on `on` alone would silently drop one record)
+    w = Window.partitionBy(*records.columns).orderBy("_prio", ext_col)
     return (
         j.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") == 1)

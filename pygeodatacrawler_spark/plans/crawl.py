@@ -47,7 +47,11 @@ from pygeodatacrawler_spark.functions.urls import (
     registered_domain,
     url_hash,
 )
-from pygeodatacrawler_spark.operators.frontier import pick_batch, salt_heavy_hosts
+from pygeodatacrawler_spark.operators.frontier import (
+    pick_batch,
+    repartition_for_fetch,
+    salt_heavy_hosts,
+)
 from pygeodatacrawler_spark.operators.seen import build_bloom, probe_bloom
 from pygeodatacrawler_spark.tables import SnapshotTable
 
@@ -60,6 +64,38 @@ FRONTIER_COLS = [
     "discovery_ts",
     "state",
 ]
+
+
+def _min_row_per_hash(df: DataFrame) -> DataFrame:
+    """Deterministic dedup on url_hash: keep the min-(depth, url) row.
+
+    The oracle's enqueue keeps the first enqueue of a URL — i.e. the
+    minimum parent depth (refcrawl.py:59-71); lexicographic raw url
+    breaks exact-depth ties with no partition-order dependence
+    (dropDuplicates would keep an arbitrary row)."""
+    rest = [c for c in FRONTIER_COLS if c not in ("url_hash", "depth", "url")]
+    return (
+        df.groupBy("url_hash")
+        .agg(F.min(F.struct("depth", "url", *rest)).alias("s"))
+        .select("url_hash", "s.*")
+        .select(*FRONTIER_COLS)
+    )
+
+
+def seeds_to_frontier(seeds: DataFrame) -> DataFrame:
+    """seeds(url, depth) -> pending frontier rows (deterministic dedup)."""
+    rows = (
+        seeds.select(
+            canonicalize_url(F.col("url")).alias("canon_url"),
+            F.col("url"),
+            F.col("depth").cast("int").alias("depth"),
+        )
+        .withColumn("url_hash", url_hash(F.col("canon_url")))
+        .withColumn("registered_domain", registered_domain(F.col("canon_url")))
+        .withColumn("discovery_ts", F.lit(0).cast("long"))
+        .withColumn("state", F.lit("pending"))
+    )
+    return _min_row_per_hash(rows)
 
 
 @dataclass
@@ -87,12 +123,22 @@ class CrawlEngine:
         self.host_budget = host_budget
         self.bloom_buckets = bloom_buckets
         self.salt_threshold = salt_threshold
-        self.frontier = SnapshotTable(spark, workdir, "frontier")
+        # merge-on-read frontier: each round's MERGE appends an O(batch)
+        # delta; state resolves at read time (last version wins per
+        # url_hash) and compacts to a base every compact_every rounds —
+        # the round commit cost no longer scales with frontier size
+        self.frontier = SnapshotTable(
+            spark, workdir, "frontier",
+            merge_log=True, key="url_hash", order_col="canon_url",
+        )
         # append-log table: O(batch) appends, read() unions the log
         self.records = SnapshotTable(spark, workdir, "records", log=True)
-        # lineage is driver-collected metrics: one JSONL line per round,
-        # flushed before the round is considered committed (resume reads
-        # it) — an atomic file append, not a Spark write job per round
+        # lineage is the SINGLE COMMIT POINT of a round: the fsync'd
+        # JSONL line carries the frontier/records snapshot versions the
+        # round produced; resume rolls back any snapshot version not
+        # covered by a lineage line, so a crash mid-round (between the
+        # frontier merge, the records append, and the lineage write)
+        # replays the round on exactly the pre-round state
         self.lineage_path = os.path.join(workdir, "lineage.jsonl")
         self.stats = CrawlStats()
         # driver-side frontier-size counter: sizes the bloom without a
@@ -105,26 +151,46 @@ class CrawlEngine:
     # -- bootstrap ---------------------------------------------------------
     def init_from_seeds(self, seeds: DataFrame) -> None:
         """seeds(url, depth) -> frontier v1 (all pending, round 0)."""
-        f = (
-            seeds.select(
-                canonicalize_url(F.col("url")).alias("canon_url"),
-                F.col("url"),
-                F.col("depth").cast("int").alias("depth"),
-            )
-            .withColumn("url_hash", url_hash(F.col("canon_url")))
-            .withColumn("registered_domain", registered_domain(F.col("canon_url")))
-            .withColumn("discovery_ts", F.lit(0).cast("long"))
-            .withColumn("state", F.lit("pending"))
-            .dropDuplicates(["url_hash"])
-            .select(*FRONTIER_COLS)
-        )
-        self.frontier.write_snapshot(f)
+        self.frontier.rollback(0)
+        self.records.rollback(0)
+        v = self.frontier.write_snapshot(seeds_to_frontier(seeds))
         self._n_frontier = self.frontier.read().count()
+        self.commit_external(frontier_v=v)
+
+    def commit_external(self, frontier_v: int | None = None) -> None:
+        """Commit a non-round table write (seed init / streaming seed
+        merge) to lineage so reconcile won't roll it back."""
+        self._append_lineage(
+            {
+                "round": -1,
+                "frontier_v": (
+                    frontier_v
+                    if frontier_v is not None
+                    else (self.frontier.latest_version() or 0)
+                ),
+                "records_v": self.records.latest_version() or 0,
+            }
+        )
 
     def resume_round(self) -> int:
         """Next round number implied by committed lineage (for resume)."""
-        rounds = [l["round"] for l in self._read_lineage()]
+        rounds = [l["round"] for l in self._read_lineage() if l["round"] >= 0]
         return max(rounds) + 1 if rounds else 0
+
+    def reconcile(self) -> None:
+        """Roll back table versions newer than the last committed
+        lineage line — the crash-recovery half of atomic round commit.
+        No-op after a clean shutdown."""
+        lines = self._read_lineage()
+        if not lines:
+            return
+        last = lines[-1]
+        if "frontier_v" not in last:  # pre-upgrade lineage format
+            return
+        fr = self.frontier.rollback(int(last["frontier_v"]))
+        rr = self.records.rollback(int(last["records_v"]))
+        if fr or rr:
+            self._n_frontier = None  # recount from the reconciled snapshot
 
     def _read_lineage(self) -> list[dict]:
         if not os.path.exists(self.lineage_path):
@@ -139,9 +205,19 @@ class CrawlEngine:
             os.fsync(f.fileno())
 
     def lineage_df(self) -> DataFrame:
-        """Lineage as a DataFrame (for export/inspection)."""
+        """Lineage as a DataFrame (for export/inspection). External
+        commit markers (round=-1) are bookkeeping, not round metrics."""
+        fields = [
+            "round", "rows_in", "rows_out", "n_records",
+            "n_parts", "skew", "wall_s",
+        ]
+        rows = [
+            {k: l.get(k) for k in fields}
+            for l in self._read_lineage()
+            if l["round"] >= 0
+        ]
         return self.spark.createDataFrame(
-            self._read_lineage(),
+            rows,
             schema=(
                 "round int, rows_in long, rows_out long, n_records long, "
                 "n_parts int, skew double, wall_s double"
@@ -157,7 +233,14 @@ class CrawlEngine:
         pending = frontier.filter(F.col("state") == "pending")
 
         batch = pick_batch(pending, self.robots, self.host_budget)
-        batch = salt_heavy_hosts(batch, heavy_threshold=self.salt_threshold)
+        # pick_batch caps every host at host_budget rows, so no host can
+        # exceed the heavy threshold unless the budget itself does — a
+        # driver-side check that skips the salt join (host-count agg +
+        # broadcast) entirely in the common small-budget config
+        if self.host_budget > self.salt_threshold:
+            batch = salt_heavy_hosts(batch, heavy_threshold=self.salt_threshold)
+        else:
+            batch = repartition_for_fetch(batch.withColumn("salt", F.lit(0)))
         batch = batch.select(*FRONTIER_COLS, "host_rank", "salt").cache()
         # one action materializes the batch AND yields size + partition
         # balance (the lineage skew metric) — no separate count()
@@ -216,13 +299,8 @@ class CrawlEngine:
             .withColumn("registered_domain", registered_domain(F.col("canon_url")))
             .withColumn("discovery_ts", F.lit(round_no + 1).cast("long"))
             .withColumn("state", F.lit("pending"))
-            .groupBy("url_hash")
-            .agg(
-                F.min_by(F.struct(*[c for c in FRONTIER_COLS if c != "url_hash"]), "canon_url").alias("s")
-            )
-            .select("url_hash", "s.*")
-            .select(*FRONTIER_COLS)
         )
+        links = _min_row_per_hash(links)
 
         # seen filter. Large frontier: bloom prefilter turns the seen
         # check into a map-only stage for the definitely-new majority,
@@ -250,18 +328,17 @@ class CrawlEngine:
         n_new = new_links.count()
         self._n_frontier += n_new
 
-        # commit: frontier MERGE (fetched states win, then new pendings)
+        # commit: frontier MERGE is an O(batch) delta append (fetched
+        # state flips + new pendings; disjoint keys by construction)
         fetched_rows = batch.select(*FRONTIER_COLS).withColumn(
             "state", F.lit("fetched")
         )
-        self.frontier.merge_upsert(
+        frontier_v = self.frontier.merge_upsert(
             fetched_rows.unionByName(new_links),
-            key="url_hash",
-            order_col="canon_url",
             current=frontier,
         )
 
-        self.records.append(
+        records_v = self.records.append(
             records.select(
                 "url_hash",
                 "canon_url",
@@ -286,6 +363,11 @@ class CrawlEngine:
             "n_parts": n_parts,
             "skew": float(skew),
             "wall_s": wall,
+            # snapshot versions this round produced — the atomic commit
+            # point: until this line is fsync'd, reconcile() rolls the
+            # two writes above back and the round replays cleanly
+            "frontier_v": frontier_v,
+            "records_v": records_v,
         }
         self._append_lineage(line)
         batch.unpersist()
@@ -317,6 +399,7 @@ class CrawlEngine:
 
     # -- full run ----------------------------------------------------------
     def run(self, max_rounds: int = 100) -> CrawlStats:
+        self.reconcile()
         start = self.resume_round()
         for r in range(start, start + max_rounds):
             res = self.run_round(r)

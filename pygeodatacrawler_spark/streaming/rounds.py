@@ -18,12 +18,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 import pyspark.sql.functions as F
 
-from pygeodatacrawler_spark.functions.urls import (
-    canonicalize_url,
-    registered_domain,
-    url_hash,
-)
-from pygeodatacrawler_spark.plans.crawl import FRONTIER_COLS, CrawlEngine
+from pygeodatacrawler_spark.plans.crawl import CrawlEngine, seeds_to_frontier
 
 
 def windowed_page_counts(
@@ -53,28 +48,17 @@ def seed_ingest_stream(
     def _on_batch(batch: DataFrame, batch_id: int) -> None:
         if batch.isEmpty():
             return
-        rows = (
-            batch.select(
-                canonicalize_url(F.col("url")).alias("canon_url"),
-                F.col("url"),
-                F.col("depth").cast("int").alias("depth"),
-            )
-            .withColumn("url_hash", url_hash(F.col("canon_url")))
-            .withColumn("registered_domain", registered_domain(F.col("canon_url")))
-            .withColumn("discovery_ts", F.lit(0).cast("long"))
-            .withColumn("state", F.lit("pending"))
-            .dropDuplicates(["url_hash"])
-            .select(*FRONTIER_COLS)
-        )
+        rows = seeds_to_frontier(batch)
         if engine.frontier.exists():
             # existing rows win (seen-set semantics for re-submitted seeds)
             cur = engine.frontier.read()
             fresh = rows.join(cur.select("url_hash"), "url_hash", "left_anti")
-            engine.frontier.write_snapshot(cur.unionByName(fresh))
-            engine._n_frontier = None  # recount lazily next round
+            v = engine.frontier.write_snapshot(cur.unionByName(fresh))
         else:
-            engine.frontier.write_snapshot(rows)
-            engine._n_frontier = None
+            v = engine.frontier.write_snapshot(rows)
+        engine._n_frontier = None  # recount lazily next round
+        # commit the seed merge to lineage so reconcile keeps it
+        engine.commit_external(frontier_v=v)
         engine.run(max_rounds=rounds_per_batch)
 
     writer = seed_stream.writeStream.foreachBatch(_on_batch).trigger(

@@ -13,6 +13,22 @@ Every write is write-new-dir-then-commit-manifest, so a killed job never
 corrupts the latest committed snapshot — the property the north rule
 needs for deterministic resume. Swapping this class for Iceberg is a
 one-file change (the CrawlEngine only calls read/write/merge_upsert).
+
+Three storage modes (mirroring Iceberg's write strategies):
+
+- default            — each version is the full table state
+                       (copy-on-write; fine for small dims).
+- ``log=True``       — each version is an append-only delta;
+                       ``read()`` unions committed versions (records).
+- ``merge_log=True`` — MERGE-ON-READ: ``merge_upsert`` appends the
+                       batch as a delta (O(batch) write, not O(table));
+                       ``read()`` resolves last-writer-wins per key
+                       with one window over base+deltas; a full base
+                       snapshot is compacted every ``compact_every``
+                       deltas to bound read cost. This is the frontier
+                       mode — the round commit cost no longer grows
+                       with frontier size, the property that makes
+                       rounds O(batch) at a 10^10-row frontier.
 """
 
 from __future__ import annotations
@@ -26,31 +42,45 @@ import pyspark.sql.functions as F
 
 
 class SnapshotTable:
-    """``log=False`` (default): each version is the full table state
-    (overwrite/merge semantics — the frontier). ``log=True``: each
-    version is a delta and ``read()`` unions all committed versions
-    (append-only tables — records/visits/lineage); this keeps appends
-    O(batch) instead of O(history) per round, like Iceberg's manifest
-    of data files."""
-
-    def __init__(self, spark: SparkSession, root: str, name: str, log: bool = False):
+    def __init__(
+        self,
+        spark: SparkSession,
+        root: str,
+        name: str,
+        log: bool = False,
+        merge_log: bool = False,
+        key: str | None = None,
+        order_col: str | None = None,
+        compact_every: int = 10,
+    ):
+        if merge_log and key is None:
+            raise ValueError("merge_log tables need a key column")
         self.spark = spark
         self.log = log
+        self.merge_log = merge_log
+        self.key = key
+        self.order_col = order_col
+        self.compact_every = compact_every
         self.dir = os.path.join(root, name)
         self.meta_path = os.path.join(self.dir, "_meta.json")
         os.makedirs(self.dir, exist_ok=True)
 
     # -- manifest ---------------------------------------------------------
-    def _versions(self) -> list[int]:
+    def _meta(self) -> dict:
         if not os.path.exists(self.meta_path):
-            return []
+            return {"versions": [], "bases": []}
         with open(self.meta_path) as f:
-            return json.load(f)["versions"]
+            m = json.load(f)
+        m.setdefault("bases", list(m["versions"]) if not self.log else [])
+        return m
 
-    def _commit(self, versions: list[int]) -> None:
+    def _versions(self) -> list[int]:
+        return self._meta()["versions"]
+
+    def _commit(self, versions: list[int], bases: list[int]) -> None:
         tmp = self.meta_path + ".tmp"
         with open(tmp, "w") as f:
-            json.dump({"versions": versions}, f)
+            json.dump({"versions": versions, "bases": bases}, f)
         os.replace(tmp, self.meta_path)  # atomic on POSIX
 
     def latest_version(self) -> int | None:
@@ -59,6 +89,22 @@ class SnapshotTable:
 
     def exists(self) -> bool:
         return self.latest_version() is not None
+
+    def rollback(self, version: int) -> bool:
+        """Drop committed versions newer than ``version`` (and their
+        files). ``version=0`` empties the table. The reconcile step of
+        atomic round commit: a round whose lineage line was never
+        written is rolled back here before the round is replayed.
+        Returns True iff any version was dropped."""
+        m = self._meta()
+        keep = [v for v in m["versions"] if v <= version]
+        drop = [v for v in m["versions"] if v > version]
+        if not drop:
+            return False
+        self._commit(keep, [b for b in m["bases"] if b <= version])
+        for v in drop:
+            shutil.rmtree(self._vdir(v), ignore_errors=True)
+        return True
 
     # -- read/write -------------------------------------------------------
     def _vdir(self, version: int) -> str:
@@ -71,31 +117,73 @@ class SnapshotTable:
         if self.log:
             dirs = [self._vdir(x) for x in self._versions() if x <= v]
             return self.spark.read.parquet(*dirs)
+        if self.merge_log:
+            return self._resolve(v)
         return self.spark.read.parquet(self._vdir(v))
 
-    def write_snapshot(self, df: DataFrame) -> int:
-        """Write a new immutable snapshot; returns the new version."""
-        versions = self._versions()
+    def _resolve(self, v: int) -> DataFrame:
+        """Merge-on-read state at version ``v``: union the last base
+        (≤ v) with the deltas after it; last writer wins per key (one
+        window shuffle on the key — no table rewrite ever happened)."""
+        m = self._meta()
+        bases = [b for b in m["bases"] if b <= v]
+        base = bases[-1] if bases else None
+        vs = [x for x in m["versions"] if x <= v and (base is None or x >= base)]
+        parts = [
+            self.spark.read.parquet(self._vdir(x)).withColumn("_v", F.lit(x))
+            for x in vs
+        ]
+        allrows = parts[0]
+        for p in parts[1:]:
+            allrows = allrows.unionByName(p)
+        if len(parts) == 1 and base is not None:
+            return allrows.drop("_v")
+        order = [F.col("_v").desc()]
+        if self.order_col is not None:
+            order.append(F.col(self.order_col))
+        w = Window.partitionBy(self.key).orderBy(*order)
+        return (
+            allrows.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn", "_v")
+        )
+
+    def write_snapshot(self, df: DataFrame, base: bool = True) -> int:
+        """Write a new immutable version; returns it. ``base=False``
+        marks a merge_log delta (not a full state)."""
+        m = self._meta()
+        versions = m["versions"]
         v = (versions[-1] + 1) if versions else 1
         df.write.mode("overwrite").parquet(self._vdir(v))
-        self._commit(versions + [v])
+        bases = m["bases"] + ([v] if base and not self.log else [])
+        self._commit(versions + [v], bases)
         return v
 
     def merge_upsert(
         self,
         batch: DataFrame,
-        key: str,
+        key: str | None = None,
         order_col: str | None = None,
         current: DataFrame | None = None,
     ) -> int:
         """MERGE INTO semantics: batch rows win on key collision.
 
-        Iceberg equivalent: WHEN MATCHED THEN UPDATE SET * WHEN NOT
-        MATCHED THEN INSERT *. Implemented as union + keep-one-per-key
-        (batch precedence, then ``order_col`` for determinism inside the
-        batch). Copy-on-write of the whole table — fine for sandbox
-        scale; Iceberg's merge-on-read replaces this at 10^10 rows.
+        merge_log mode: append the batch as a delta — O(batch) write;
+        collisions resolve at read time (last version wins). A base
+        snapshot is compacted every ``compact_every`` deltas so reads
+        stay bounded. Otherwise: copy-on-write union + keep-one-per-key
+        (the Iceberg WHEN MATCHED UPDATE / NOT MATCHED INSERT shape).
         """
+        key = key or self.key
+        order_col = order_col or self.order_col
+        if self.merge_log and self.exists():
+            v = self.write_snapshot(batch, base=False)
+            m = self._meta()
+            last_base = m["bases"][-1] if m["bases"] else 0
+            n_deltas = len([x for x in m["versions"] if x > last_base])
+            if n_deltas >= self.compact_every:
+                v = self.write_snapshot(self._resolve(v))
+            return v
         if current is not None:
             cur = current.withColumn("_src", F.lit(0))
         elif self.exists():
@@ -122,3 +210,4 @@ class SnapshotTable:
 
     def drop(self) -> None:
         shutil.rmtree(self.dir, ignore_errors=True)
+        os.makedirs(self.dir, exist_ok=True)

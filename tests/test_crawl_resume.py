@@ -46,3 +46,63 @@ def test_resume_is_deterministic(spark):
     assert full[0] == resumed[0]  # visit order
     assert full[1] == resumed[1]  # frontier states
     assert full[2] == resumed[2]  # records + text hashes
+
+
+class _Boom(RuntimeError):
+    pass
+
+
+def _crash_mid_round(spark, pages, seeds, robots, tmp, crash_point: str):
+    """Run 1 clean round, then crash round 2 mid-commit: either after
+    the frontier merge but before the records append ('after_merge') or
+    after both table writes but before the lineage line ('before_lineage')
+    — the two non-atomic windows ADVICE.md flags."""
+    eng = CrawlEngine(spark, tmp, pages, robots, host_budget=BUDGET)
+    eng.init_from_seeds(seeds)
+    eng.run(max_rounds=1)
+
+    crasher = CrawlEngine(spark, tmp, pages, robots, host_budget=BUDGET)
+    if crash_point == "after_merge":
+        crasher.records.append = lambda df: (_ for _ in ()).throw(_Boom())
+    else:
+        orig = crasher._append_lineage
+
+        def _boom(line):
+            if line["round"] >= 1:
+                raise _Boom()
+            orig(line)
+
+        crasher._append_lineage = _boom
+    try:
+        crasher.run(max_rounds=5)
+    except _Boom:
+        pass
+    else:  # pragma: no cover
+        raise AssertionError("crash did not fire")
+
+
+def _collect_state(eng):
+    vis = sorted(
+        (r["round"], r["rank_in_round"], r["canon_url"])
+        for r in eng.visits_view().collect()
+    )
+    fro = sorted((r["url_hash"], r["state"]) for r in eng.frontier.read().collect())
+    rec = sorted(
+        (r["canon_url"], r["text_sha2"]) for r in eng.records.read().collect()
+    )
+    return vis, fro, rec
+
+
+def test_mid_round_crash_replays_identically(spark):
+    """A crash between the frontier merge, the records append, and the
+    lineage commit must not double-append records or advance frontier
+    state for an uncommitted round: reconcile() rolls the partial writes
+    back and the replay converges to the uninterrupted run."""
+    pages, seeds, robots = load_pages(spark, n_pages=N_PAGES, n_hosts=N_HOSTS)
+    full = _final_state(spark, pages, seeds, robots, interrupt=False)
+    for crash_point in ("after_merge", "before_lineage"):
+        with tempfile.TemporaryDirectory() as tmp:
+            _crash_mid_round(spark, pages, seeds, robots, tmp, crash_point)
+            fresh = CrawlEngine(spark, tmp, pages, robots, host_budget=BUDGET)
+            fresh.run(max_rounds=50)
+            assert _collect_state(fresh) == full, crash_point
