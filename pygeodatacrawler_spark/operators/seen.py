@@ -52,7 +52,7 @@ BLOOM_SCHEMA = StructType(
 )
 
 
-def _geometry(expected_per_bucket: int, fpr: float) -> tuple[int, int]:
+def bloom_geometry(expected_per_bucket: int, fpr: float) -> tuple[int, int]:
     """(m_bits, k_hashes) for a target FPR; m rounded up to a byte."""
     n = max(1, expected_per_bucket)
     m = max(64, int(math.ceil(-n * math.log(fpr) / (math.log(2) ** 2))))
@@ -85,7 +85,7 @@ def build_bloom(
     """
     if expected_total is None:
         expected_total = hashes.count()
-    m_bits, k = _geometry(int(expected_total / n_buckets) + 1, fpr)
+    m_bits, k = bloom_geometry(int(expected_total / n_buckets) + 1, fpr)
 
     def _build(pdf_iter: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         acc: dict[int, np.ndarray] = {}
@@ -116,22 +116,50 @@ def build_bloom(
     return bucketed.mapInPandas(_build, schema=BLOOM_SCHEMA)
 
 
+def _hits(h: np.ndarray, bitmap: np.ndarray, m_bits: int, k: int) -> np.ndarray:
+    """Boolean membership vector for keys ``h`` against one bitmap."""
+    hit = np.ones(len(h), dtype=bool)
+    for pos in _positions(h, m_bits, k):
+        byte_idx = (pos >> np.uint64(3)).astype(np.int64)
+        bit = np.left_shift(np.uint8(1), (pos & np.uint64(7)).astype(np.uint8))
+        hit &= (bitmap[byte_idx] & bit) != 0
+    return hit
+
+
+# above this, shipping every bitmap to every executor (and collecting
+# them all on the driver first) stops being reasonable; the cogroup
+# probe holds exactly one bucket's bitmap per task instead
+BROADCAST_MAX_BITMAP_BYTES = 64 << 20
+
+
 def probe_bloom(
     candidates: DataFrame,
     bloom: DataFrame,
     hash_col: str = "url_hash",
     n_buckets: int = 64,
     result_col: str = "maybe_seen",
+    via: str = "broadcast",
 ) -> DataFrame:
-    """Adds ``maybe_seen`` to candidates.
+    """Adds ``maybe_seen`` to candidates. Two physical strategies:
 
-    The bloom table is tiny relative to the candidate stream, so it is
-    shipped once per executor as an sc.broadcast of {bucket: (bitmap,
-    m, k)} and probed inside mapInPandas — a map-only stage over the
-    candidates, zero shuffle, and no per-row bitmap duplication (a
-    DataFrame broadcast *join* would copy the bitmap bytes onto every
-    candidate row at the Arrow boundary).
+    ``via="broadcast"`` — collect the bucket rows once, sc.broadcast the
+    {bucket: bitmap} dict, probe inside mapInPandas: a map-only stage
+    over the candidates, zero shuffle. Right when the total bitmap is
+    small (sandbox scale). A DataFrame broadcast *join* would instead
+    copy the bitmap bytes onto every candidate row at the Arrow boundary.
+
+    ``via="cogroup"`` — co-partition candidates and bloom rows on the
+    bucket id and probe inside a grouped cogroup UDF: one shuffle of the
+    candidates, NO driver collection and no full-bitmap replication —
+    each task holds only its own bucket's bitmap. This is the 10^10-key
+    path (~12 GB of bitmaps per the module docstring would kill the
+    driver under broadcast). CrawlEngine picks the strategy from the
+    bloom geometry driver-side (pure math, no extra job).
     """
+    if via == "cogroup":
+        return _probe_bloom_cogroup(
+            candidates, bloom, hash_col, n_buckets, result_col
+        )
     spark = candidates.sparkSession
     buckets = {
         int(r["bucket"]): (
@@ -156,14 +184,7 @@ def probe_bloom(
                     continue
                 bm, m_bits, k = bkts[int(b)]
                 sel = np.flatnonzero(bucket_ids == b)
-                h = h_all[sel]
-                hit = np.ones(len(sel), dtype=bool)
-                for pos in _positions(h, m_bits, k):
-                    byte_idx = (pos >> np.uint64(3)).astype(np.int64)
-                    bit = np.left_shift(
-                        np.uint8(1), (pos & np.uint64(7)).astype(np.uint8)
-                    )
-                    hit &= (bm[byte_idx] & bit) != 0
+                hit = _hits(h_all[sel], bm, m_bits, k)
                 res[sel[hit]] = True
             pdf[result_col] = res
             yield pdf
@@ -172,6 +193,46 @@ def probe_bloom(
         list(candidates.schema.fields) + [StructField(result_col, BooleanType(), False)]
     )
     return candidates.mapInPandas(_probe, schema=out_schema)
+
+
+def _probe_bloom_cogroup(
+    candidates: DataFrame,
+    bloom: DataFrame,
+    hash_col: str,
+    n_buckets: int,
+    result_col: str,
+) -> DataFrame:
+    """Bucket-co-partitioned probe: candidates shuffle once on their
+    bucket id; each cogroup task sees (bucket's candidates, bucket's one
+    bloom row). Bitmap bytes move executor-to-executor only, once per
+    bucket — never through the driver."""
+    cand = candidates.withColumn(
+        "_bucket", F.pmod(F.col(hash_col), F.lit(n_buckets)).cast("int")
+    )
+    out_fields = list(candidates.schema.fields) + [
+        StructField(result_col, BooleanType(), False)
+    ]
+    out_schema = StructType(out_fields)
+    out_cols = [f.name for f in out_fields]
+
+    def _probe(cand_pdf: pd.DataFrame, bloom_pdf: pd.DataFrame) -> pd.DataFrame:
+        cand_pdf = cand_pdf.reset_index(drop=True)
+        if bloom_pdf.empty:
+            cand_pdf[result_col] = False
+        else:
+            row = bloom_pdf.iloc[0]
+            bm = np.frombuffer(row["bitmap"], dtype=np.uint8)
+            h = cand_pdf[hash_col].to_numpy(dtype=np.int64)
+            cand_pdf[result_col] = _hits(
+                h, bm, int(row["m_bits"]), int(row["k_hashes"])
+            )
+        return cand_pdf[out_cols]
+
+    return (
+        cand.groupBy("_bucket")
+        .cogroup(bloom.groupBy("bucket"))
+        .applyInPandas(_probe, schema=out_schema)
+    )
 
 
 def merge_blooms(a: DataFrame, b: DataFrame) -> DataFrame:

@@ -52,7 +52,12 @@ from pygeodatacrawler_spark.operators.frontier import (
     repartition_for_fetch,
     salt_heavy_hosts,
 )
-from pygeodatacrawler_spark.operators.seen import build_bloom, probe_bloom
+from pygeodatacrawler_spark.operators.seen import (
+    BROADCAST_MAX_BITMAP_BYTES,
+    bloom_geometry,
+    build_bloom,
+    probe_bloom,
+)
 from pygeodatacrawler_spark.tables import SnapshotTable
 
 FRONTIER_COLS = [
@@ -314,7 +319,19 @@ class CrawlEngine:
                 n_buckets=self.bloom_buckets,
                 expected_total=self._n_frontier,
             )
-            probed = probe_bloom(links, bloom, n_buckets=self.bloom_buckets)
+            # physical strategy from geometry alone (driver-side math,
+            # no extra job): small total bitmap -> broadcast (map-only
+            # probe); big -> bucket-co-partitioned cogroup, which never
+            # collects bitmaps to the driver (the 10^10-key path)
+            m_bits, _ = bloom_geometry(
+                int(self._n_frontier / self.bloom_buckets) + 1, 0.01
+            )
+            via = (
+                "cogroup"
+                if m_bits // 8 * self.bloom_buckets > BROADCAST_MAX_BITMAP_BYTES
+                else "broadcast"
+            )
+            probed = probe_bloom(links, bloom, n_buckets=self.bloom_buckets, via=via)
             definitely_new = probed.filter(~F.col("maybe_seen")).drop("maybe_seen")
             maybes = probed.filter(F.col("maybe_seen")).drop("maybe_seen")
             confirmed_new = maybes.join(

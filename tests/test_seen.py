@@ -33,6 +33,34 @@ def test_bloom_fpr_bounded(spark):
     assert fp / 10_000 < 0.05  # 1% target, generous margin
 
 
+def test_cogroup_probe_matches_broadcast_and_never_collects(spark):
+    """The scale path: bucket-co-partitioned probe gives bit-identical
+    answers to the broadcast probe WITHOUT ever collecting a bitmap to
+    the driver (DataFrame.collect is poisoned for the duration)."""
+    from pyspark.sql import DataFrame
+
+    inserted = _hashes(spark, 0, 5000)
+    mixed = _hashes(spark, 2500, 12_500)
+    bloom = build_bloom(inserted, n_buckets=16, fpr=0.01)
+    want = {
+        (r["url_hash"], r["maybe_seen"])
+        for r in probe_bloom(mixed, bloom, n_buckets=16, via="broadcast").collect()
+    }
+
+    orig = DataFrame.collect
+    DataFrame.collect = lambda self: (_ for _ in ()).throw(
+        AssertionError("cogroup probe must not collect")
+    )
+    try:
+        got_pdf = probe_bloom(mixed, bloom, n_buckets=16, via="cogroup").toPandas()
+    finally:
+        DataFrame.collect = orig
+    got = set(zip(got_pdf["url_hash"], got_pdf["maybe_seen"]))
+    assert got == want
+    # every inserted key present (no false negatives through cogroup)
+    assert all(seen for h, seen in got if (h, True) in want)
+
+
 def test_bloom_merge(spark):
     a = _hashes(spark, 0, 1000)
     b = _hashes(spark, 1000, 2000)
