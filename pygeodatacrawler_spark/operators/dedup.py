@@ -165,6 +165,44 @@ def simhash_buckets(
     )
 
 
+def ngram_jaccard_verify(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_n: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Exact n-gram Jaccard computed ONLY on candidate ``pairs``
+    (id_a, id_b) — the verify half of the LSH->verify near-dup path.
+
+    Per-doc distinct-shingle ARRAYS are attached to each pair side and
+    intersected JVM-side (array_intersect): cost is O(|pairs| x shingle
+    count), never the O(D^2)-per-hot-shingle blowup of the standalone
+    self-join. This composition (minhash_lsh_pairs -> verify) is the
+    default near-dup path at corpus scale; ngram_jaccard_pairs stays as
+    the exact-standalone opt-in.
+    """
+    ga = df.select(
+        F.col(id_col).alias("_vid"),
+        F.array_distinct(
+            ngrams_from_tokens(tokens(F.col(text_col)), shingle_n)
+        ).alias("_grams"),
+    )
+    a = ga.select(F.col("_vid").alias("id_a"), F.col("_grams").alias("_ga"))
+    b = ga.select(F.col("_vid").alias("id_b"), F.col("_grams").alias("_gb"))
+    n_inter = F.size(F.array_intersect(F.col("_ga"), F.col("_gb")))
+    union = F.size(F.col("_ga")) + F.size(F.col("_gb")) - n_inter
+    return (
+        pairs.select("id_a", "id_b")
+        .join(a, "id_a")
+        .join(b, "id_b")
+        .withColumn("jaccard", F.round(n_inter / union.cast("double"), 4))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     id_col: str,
@@ -203,17 +241,15 @@ def ngram_jaccard_pairs(
         .groupBy(F.col("x.id").alias("id_a"), F.col("y.id").alias("id_b"))
         .agg(F.count("*").alias("n_inter"))
     )
+    # no broadcast hint on sizes: it has one row PER DOCUMENT, which is
+    # unbounded at corpus scale — AQE picks broadcast only when it fits
     return (
         inter.join(
-            F.broadcast(
-                sizes.withColumnRenamed("id", "id_a").withColumnRenamed("n", "n_a")
-            ),
+            sizes.withColumnRenamed("id", "id_a").withColumnRenamed("n", "n_a"),
             "id_a",
         )
         .join(
-            F.broadcast(
-                sizes.withColumnRenamed("id", "id_b").withColumnRenamed("n", "n_b")
-            ),
+            sizes.withColumnRenamed("id", "id_b").withColumnRenamed("n", "n_b"),
             "id_b",
         )
         .withColumn(

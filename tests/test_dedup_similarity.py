@@ -60,6 +60,31 @@ def test_ngram_jaccard_scores(spark):
     assert (3, 5) not in out
 
 
+def test_lsh_verify_composition_matches_exact_on_candidates(spark):
+    """The default near-dup path (LSH candidates -> ngram_jaccard_verify)
+    returns exactly the exact-standalone scores restricted to candidate
+    pairs — verify introduces no score drift."""
+    from pygeodatacrawler_spark.operators.dedup import ngram_jaccard_verify
+
+    d = _docs(spark)
+    cand = minhash_lsh_pairs(d, "doc_id", "text", k=8, bands=8)
+    got = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in ngram_jaccard_verify(
+            d, cand, "doc_id", "text", shingle_n=3, threshold=0.5
+        ).collect()
+    }
+    exact = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(
+            d, "doc_id", "text", shingle_n=3, threshold=0.5
+        ).collect()
+    }
+    cand_set = {(r["id_a"], r["id_b"]) for r in cand.collect()}
+    assert got == {p: j for p, j in exact.items() if p in cand_set}
+    assert got[(1, 4)] == 1.0 and (1, 2) in got
+
+
 def test_simhash_identical_docs_equal(spark):
     sigs = {r["doc_id"]: r["simhash"] for r in simhash_buckets(
         _docs(spark), "doc_id", "text").collect()}
