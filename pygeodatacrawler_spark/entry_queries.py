@@ -1048,6 +1048,136 @@ from events group by event_type
 """
 
 
+# =====================================================================
+# DOI resolution cascade (C15 full form; reference utils.py:509-663)
+# =====================================================================
+def q_doi_cascade(spark, sf_dir):
+    """DataCite -> Crossref -> bibtex short-circuit over synthesized API
+    responses (deterministic JSON built from documents), flattened to
+    oracle-comparable columns. doc_id%4 plants one row per cascade
+    branch: 0 datacite-valid, 1 blocklisted prefix (skips DataCite even
+    though its response is valid), 2 datacite-invalid, 3 bibtex-only."""
+    from pygeodatacrawler_spark.operators.doi import resolve_doi
+
+    d = _table(spark, sf_dir, "documents")
+    i = F.col("doc_id").cast("string")
+    b = F.col("doc_id") % 4
+    prefix = F.when(b == 1, F.lit("10.1002")).otherwise(F.lit("10.5281"))
+    url = F.concat(F.lit("https://doi.org/"), prefix, F.lit("/item."), i)
+    dctitle = F.when(b.isin(2, 3), F.lit("")).otherwise(
+        F.concat(F.lit("DC title "), i)
+    )
+    crtitle = F.when(b == 3, F.lit("")).otherwise(F.concat(F.lit("CR title "), i))
+    dc_resp = F.concat(
+        F.lit('{"data":[{"attributes":{"titles":[{"title":"'), dctitle,
+        F.lit('"}],"descriptions":[{"description":"Desc '), i,
+        F.lit('"}],"creators":[{"name":"Ada Lovelace","affiliation":["Org'),
+        (F.col("doc_id") % 5).cast("string"),
+        F.lit('"]}],"contributors":[{"familyName":"Curie","contributorType":"Editor"}],'
+              '"licenses":[{"title":"CC-BY-4.0"}],'
+              '"dates":[{"date":"2019-05-01","dateType":"Issued"}],'
+              '"publicationYear":2020,'
+              '"subjects":[{"subject":"geo"},{"subject":"data"}],'
+              '"types":{"resourceTypeGeneral":"Dataset","resourceType":"grid"},'
+              '"relatedIdentifiers":[{"relatedIdentifier":"10.1/rel'), i,
+        F.lit('","relatedIdentifierType":"DOI","relationType":"IsSupplementTo"},'
+              '{"relatedIdentifier":"x","relatedIdentifierType":"URL"}]}}]}'),
+    )
+    cr_resp = F.concat(
+        F.lit('{"message":{"type":"journal-article","title":["'), crtitle,
+        F.lit('"],"abstract":"jats:Abstract '), i,
+        F.lit('","publisher":"Pub '), (F.col("doc_id") % 3).cast("string"),
+        F.lit('","created":{"date-time":"2021-01-01T00:00:00Z"},'
+              '"published":{"date-parts":[[2021,'),
+        (F.col("doc_id") % 12 + 1).cast("string"),
+        F.lit(',2]]},"license":[{"URL":"https://lic/'), i,
+        F.lit('"}],"author":[{"given":"Grace","family":"Hopper",'
+              '"affiliation":[{"Name":"Navy"}]},{"given":"Alan","family":"Turing"}],'
+              '"indexed":{"date-time":"2022-02-02T00:00:00Z"}}}'),
+    )
+    bt_resp = F.concat(
+        F.lit("@article{bib"), i, F.lit(", title = {BT title "), i,
+        F.lit("}, year = {1999}}"),
+    )
+    df = d.select(
+        "doc_id",
+        url.alias("url"),
+        dc_resp.alias("datacite_resp"),
+        cr_resp.alias("crossref_resp"),
+        bt_resp.alias("bibtex_resp"),
+    )
+    out = resolve_doi(df)
+    return out.select(
+        "doc_id",
+        F.col("resolve_stage").alias("stage"),
+        F.col("mcf.metadata.identifier").alias("identifier"),
+        F.col("mcf.identification.title").alias("title"),
+        F.element_at(F.col("mcf.identification.dates"), F.lit("publication")).alias(
+            "publication"
+        ),
+        F.size("mcf.contact").alias("n_contacts"),
+    )
+
+
+SQL_DOI_CASCADE = """
+with synth as (
+  select doc_id,
+    doc_id % 4 as b,
+    case when doc_id % 4 = 1 then '10.1002' else '10.5281' end as prefix,
+    case when doc_id % 4 in (2, 3) then '' else 'DC title ' || doc_id end as dctitle,
+    case when doc_id % 4 = 3 then '' else 'CR title ' || doc_id end as crtitle
+  from documents),
+resp as (
+  select doc_id, b, prefix,
+    prefix || '/item.' || doc_id as doi,
+    '{"data":[{"attributes":{"titles":[{"title":"' || dctitle ||
+    '"}],"descriptions":[{"description":"Desc ' || doc_id ||
+    '"}],"creators":[{"name":"Ada Lovelace","affiliation":["Org' || (doc_id % 5) ||
+    '"]}],"contributors":[{"familyName":"Curie","contributorType":"Editor"}],"licenses":[{"title":"CC-BY-4.0"}],"dates":[{"date":"2019-05-01","dateType":"Issued"}],"publicationYear":2020,"subjects":[{"subject":"geo"},{"subject":"data"}],"types":{"resourceTypeGeneral":"Dataset","resourceType":"grid"},"relatedIdentifiers":[{"relatedIdentifier":"10.1/rel' || doc_id ||
+    '","relatedIdentifierType":"DOI","relationType":"IsSupplementTo"},{"relatedIdentifier":"x","relatedIdentifierType":"URL"}]}}]}' as dc,
+    '{"message":{"type":"journal-article","title":["' || crtitle ||
+    '"],"abstract":"jats:Abstract ' || doc_id ||
+    '","publisher":"Pub ' || (doc_id % 3) ||
+    '","created":{"date-time":"2021-01-01T00:00:00Z"},"published":{"date-parts":[[2021,' || (doc_id % 12 + 1) ||
+    ',2]]},"license":[{"URL":"https://lic/' || doc_id ||
+    '"}],"author":[{"given":"Grace","family":"Hopper","affiliation":[{"Name":"Navy"}]},{"given":"Alan","family":"Turing"}],"indexed":{"date-time":"2022-02-02T00:00:00Z"}}}' as cr,
+    '@article{bib' || doc_id || ', title = {BT title ' || doc_id || '}, year = {1999}}' as bt
+  from synth),
+staged as (
+  select doc_id, doi, dc, cr, bt,
+    case
+      when b <> 1 and (dc->>'$.data[0].attributes.titles[0].title') <> '' then 'datacite'
+      when (cr->>'$.message.title[0]') <> '' then 'crossref'
+      when regexp_extract(bt, '@\\w+\\s*\\{\\s*([^,\\s]+)\\s*,', 1) <> '' then 'bibtex'
+    end as stage
+  from resp)
+select doc_id, stage,
+  case stage
+    when 'datacite' then translate('doi.org/' || doi, '# !/\\:;()[]{}&~%+,', '-------')
+    when 'crossref' then doi
+    else translate(regexp_extract(bt, '@\\w+\\s*\\{\\s*([^,\\s]+)\\s*,', 1), '# !/\\:;()[]{}&~%+,', '-------')
+  end as identifier,
+  case stage
+    when 'datacite' then dc->>'$.data[0].attributes.titles[0].title'
+    when 'crossref' then cr->>'$.message.title[0]'
+    else regexp_extract(bt, 'title\\s*=\\s*\\{([^}]*)\\}', 1)
+  end as title,
+  case stage
+    when 'datacite' then (dc->>'$.data[0].attributes.publicationYear')
+    when 'crossref' then (cr->>'$.message.published."date-parts"[0][0]') || '-' ||
+                         (cr->>'$.message.published."date-parts"[0][1]') || '-' ||
+                         (cr->>'$.message.published."date-parts"[0][2]')
+  end as publication,
+  case stage
+    when 'datacite' then json_array_length(dc, '$.data[0].attributes.creators')
+                       + json_array_length(dc, '$.data[0].attributes.contributors')
+    when 'crossref' then 1 + json_array_length(cr, '$.message.author')
+    else 0
+  end as n_contacts
+from staged
+"""
+
+
 def q_approx_distinct(spark, sf_dir):
     # HLL sketch — algorithm-specific, so no value oracle (driver runs
     # the weaker rows-only check); exactness is covered by distinct_agg
@@ -1100,6 +1230,7 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_decode": q_media_decode,
         "scalar_cleanup": q_scalar_cleanup,
         "percentile": q_percentile,
+        "doi_cascade": q_doi_cascade,
         "approx_distinct": q_approx_distinct,
     }
 
@@ -1144,6 +1275,7 @@ def all_oracle_sql() -> dict[str, str]:
         "media_decode": SQL_MEDIA_DECODE,
         "scalar_cleanup": SQL_SCALAR_CLEANUP,
         "percentile": SQL_PERCENTILE,
+        "doi_cascade": SQL_DOI_CASCADE,
         # approx_distinct: intentionally no oracle (HLL is
         # algorithm-specific); the driver records a rows-only check
     }

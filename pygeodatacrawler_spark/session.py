@@ -56,6 +56,10 @@ def get_spark(
         # stalls (measured: 4x slowdown at 32 cores). 512 keeps batches
         # ~10-20MB while staying vectorized for narrow-row tables.
         .config("spark.sql.parquet.columnarReaderBatchSize", "512")
+        # contact maps are built with map_from_entries over API-response
+        # arrays; duplicate keys resolve like Python dict assignment in
+        # the reference (last writer wins, utils.py:475-487)
+        .config("spark.sql.mapKeyDedupPolicy", "LAST_WIN")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
