@@ -1049,6 +1049,66 @@ from events group by event_type
 
 
 # =====================================================================
+# A4 contact split/collect (parseDC utils.py:715-728)
+# =====================================================================
+def q_contact_collect(spark, sf_dir):
+    """Multi-valued author/publisher/creator strings -> one contact row
+    per surviving (doc, key): split on ';'/' and ', safeFileName key,
+    email routing on '@', last role wins on key collision."""
+    from pygeodatacrawler_spark.operators.harvest import contact_entries
+
+    d = _table(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    base = d.select(
+        "doc_id",
+        F.concat(F.lit("Alice Smith and Bob-"), (i % 7).cast("string")).alias(
+            "author"
+        ),
+        F.concat(F.lit("Pub "), (i % 3).cast("string")).alias("publisher"),
+        F.when(
+            i % 2 == 0, F.lit("alice.smith@example.org;Alice Smith")
+        ).otherwise(F.lit("")).alias("creator"),
+    )
+    return contact_entries(base, "doc_id")
+
+
+_SQL_SAFE_FNAME = "translate({e}, '# !/\\:;()[]{{}}&~%+,', '-------')"
+
+SQL_CONTACT_COLLECT = f"""
+with base as (
+  select doc_id,
+    'Alice Smith and Bob-' || (doc_id % 7) as author,
+    'Pub ' || (doc_id % 3) as publisher,
+    case when doc_id % 2 = 0 then 'alice.smith@example.org;Alice Smith' else '' end as creator
+  from documents),
+a as (select doc_id, string_split(regexp_replace(author, ' and ', ';', 'g'), ';') as l from base),
+p as (select doc_id, string_split(regexp_replace(publisher, ' and ', ';', 'g'), ';') as l from base),
+c as (select doc_id, string_split(regexp_replace(creator, ' and ', ';', 'g'), ';') as l from base),
+names as (
+  select doc_id, 0 as ord, 'author' as role, trim(l[i+1]) as name, i as pos
+    from a, unnest(range(len(l))) as t(i)
+  union all
+  select doc_id, 1 as ord, 'publisher' as role, trim(l[i+1]) as name, i as pos
+    from p, unnest(range(len(l))) as t(i)
+  union all
+  select doc_id, 2 as ord, 'creator' as role, trim(l[i+1]) as name, i as pos
+    from c, unnest(range(len(l))) as t(i)),
+kept as (
+  select doc_id, name, role,
+    {_SQL_SAFE_FNAME.format(e='name')} as contact_key,
+    row_number() over (
+      partition by doc_id, {_SQL_SAFE_FNAME.format(e='name')}
+      order by ord desc, pos desc) as rn
+  from names where name <> '')
+select doc_id, contact_key,
+  case when name like '%@%' then name end as email,
+  case when name not like '%@%' then name end as individualname,
+  role
+from kept where rn = 1
+"""
+
+
+# =====================================================================
 # DOI resolution cascade (C15 full form; reference utils.py:509-663)
 # =====================================================================
 def q_doi_cascade(spark, sf_dir):
@@ -1230,6 +1290,7 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_decode": q_media_decode,
         "scalar_cleanup": q_scalar_cleanup,
         "percentile": q_percentile,
+        "contact_collect": q_contact_collect,
         "doi_cascade": q_doi_cascade,
         "approx_distinct": q_approx_distinct,
     }
@@ -1275,6 +1336,7 @@ def all_oracle_sql() -> dict[str, str]:
         "media_decode": SQL_MEDIA_DECODE,
         "scalar_cleanup": SQL_SCALAR_CLEANUP,
         "percentile": SQL_PERCENTILE,
+        "contact_collect": SQL_CONTACT_COLLECT,
         "doi_cascade": SQL_DOI_CASCADE,
         # approx_distinct: intentionally no oracle (HLL is
         # algorithm-specific); the driver records a rows-only check

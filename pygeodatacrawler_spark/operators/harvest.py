@@ -29,7 +29,89 @@ from pygeodatacrawler_spark.functions.metadata import (
 from pygeodatacrawler_spark.functions.urls import (
     canonicalize_url,
     registered_domain,
+    safe_filename,
 )
+
+CONTACT_ROLE_COLS = ["author", "publisher", "creator"]
+
+
+def contact_entries(
+    df: DataFrame, id_col: str, role_cols: list[str] | None = None
+) -> DataFrame:
+    """A4 contact split (parseDC utils.py:715-728): multi-valued
+    author/publisher/creator strings split on ';' and ' and ', one
+    contact per name, keyed by safeFileName(name); '@' in the value
+    routes it to the email field.
+
+    Output: one row per surviving (id, contact_key) — when the same key
+    appears under several role columns, the LAST one wins (Python dict
+    assignment order; the reference's role-rerun quirk at utils.py:722
+    — every earlier name re-assigned on later iterations — is a latent
+    bug SURVEY §4 says not to replicate). ``contact_map`` folds these
+    rows into the nested-MCF map column.
+    """
+    role_cols = CONTACT_ROLE_COLS if role_cols is None else role_cols
+
+    # closure factory, NOT a default-arg lambda: pyspark treats a
+    # two-parameter transform lambda as (element, index)
+    def _tag(role: str):
+        return lambda x: F.struct(F.trim(x).alias("name"), F.lit(role).alias("role"))
+
+    per_role = [
+        F.transform(
+            F.split(
+                F.regexp_replace(F.coalesce(F.col(c), F.lit("")), " and ", ";"), ";"
+            ),
+            _tag(c),
+        )
+        for c in role_cols
+    ]
+    exploded = (
+        df.select(
+            F.col(id_col),
+            F.posexplode(
+                F.filter(
+                    F.flatten(F.array(*per_role)), lambda e: e["name"] != ""
+                )
+            ).alias("pos", "e"),
+        )
+        .select(
+            id_col,
+            "pos",
+            safe_filename(F.col("e.name")).alias("contact_key"),
+            F.col("e.name").alias("name"),
+            F.col("e.role").alias("role"),
+        )
+    )
+    w = Window.partitionBy(id_col, "contact_key").orderBy(F.col("pos").desc())
+    return (
+        exploded.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(
+            id_col,
+            "contact_key",
+            F.when(F.col("name").contains("@"), F.col("name")).alias("email"),
+            F.when(~F.col("name").contains("@"), F.col("name")).alias(
+                "individualname"
+            ),
+            "role",
+        )
+    )
+
+
+def contact_map(entries: DataFrame, id_col: str) -> DataFrame:
+    """Fold contact_entries rows into the nested-MCF contact map:
+    map_from_entries(collect_list(...)) per record, entries sorted by
+    key for deterministic map order."""
+    e = F.struct(
+        F.col("contact_key").alias("key"),
+        F.struct("email", "individualname", "role").alias("value"),
+    )
+    return entries.groupBy(id_col).agg(
+        F.map_from_entries(
+            F.array_sort(F.collect_list(e))
+        ).alias("contact")
+    )
 
 
 def harvest_metadata(pages: DataFrame) -> DataFrame:

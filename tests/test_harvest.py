@@ -95,3 +95,37 @@ def test_catalog_rollup_and_render(harvested):
     # determinism: second render byte-identical
     again = {r["registered_domain"]: r["catalog"] for r in render_catalog(valid).collect()}
     assert all(again[r["registered_domain"]] == r["catalog"] for r in rendered)
+
+
+def test_contact_split_and_map(spark):
+    """A4: split on ';'/' and ', safeFileName keys, email routing,
+    last-role-wins on key collision, folded into the MCF contact map."""
+    from pygeodatacrawler_spark.operators.harvest import contact_entries, contact_map
+
+    df = spark.createDataFrame(
+        [
+            (1, "Jane Roe and Li Wei", "ACME Press", "jane@x.org;Jane Roe"),
+            (2, "", "Solo Org", None),
+        ],
+        "rec long, author string, publisher string, creator string",
+    )
+    rows = {
+        (r["rec"], r["contact_key"]): r
+        for r in contact_entries(df, "rec").collect()
+    }
+    # creator re-lists Jane Roe -> the later role wins
+    assert rows[(1, "Jane-Roe")]["role"] == "creator"
+    assert rows[(1, "Jane-Roe")]["individualname"] == "Jane Roe"
+    assert rows[(1, "Li-Wei")]["role"] == "author"
+    assert rows[(1, "jane@x.org")]["email"] == "jane@x.org"
+    assert rows[(1, "jane@x.org")]["individualname"] is None
+    assert rows[(2, "Solo-Org")]["role"] == "publisher"
+    assert (2, "") not in rows  # empties dropped
+
+    maps = {
+        r["rec"]: r["contact"]
+        for r in contact_map(contact_entries(df, "rec"), "rec").collect()
+    }
+    assert set(maps[1].keys()) == {"ACME-Press", "Jane-Roe", "Li-Wei", "jane@x.org"}
+    assert maps[1]["Jane-Roe"]["role"] == "creator"
+    assert maps[2]["Solo-Org"]["individualname"] == "Solo Org"
