@@ -1109,6 +1109,46 @@ from kept where rn = 1
 
 
 # =====================================================================
+# CSV-import filename rule (C17/O3; reference metadata.py:525-534)
+# =====================================================================
+def q_import_filename(spark, sf_dir):
+    """safeFileName + ascii fold, clip-to-32, extend-if-under-8 with
+    '--' + folded letters[:16] — the import sink's filename rule over
+    synthesized identifiers covering all three branches."""
+    from pygeodatacrawler_spark.sources.csv_import import import_filename
+
+    d = _table(spark, sf_dir, "documents")
+    i = F.col("doc_id").cast("string")
+    b = F.col("doc_id") % 3
+    ident = (
+        F.when(b == 0, F.concat(F.lit("ídx"), i))
+        .when(b == 1, F.concat(F.lit("L" * 20), i))
+        .otherwise(F.lit("X" * 40))
+    )
+    letters = F.concat(F.lit("Páblito Org "), (F.col("doc_id") % 10).cast("string"))
+    return d.select("doc_id", import_filename(ident, letters).alias("fname"))
+
+
+SQL_IMPORT_FILENAME = """
+with s as (select doc_id,
+    case when doc_id % 3 = 0 then 'ídx' || doc_id
+         when doc_id % 3 = 1 then repeat('L', 20) || doc_id
+         else repeat('X', 40) end as ident,
+    'Páblito Org ' || (doc_id % 10) as letters
+  from documents),
+t as (select doc_id,
+    strip_accents(translate(ident, '# !/\\:;()[]{}&~%+,', '-------')) as fn,
+    substring(strip_accents(translate(letters, '# !/\\:;()[]{}&~%+,', '-------')), 1, 16) as ext
+  from s)
+select doc_id,
+  case when len(fn) > 32 then substring(fn, 1, 32)
+       when len(fn) < 8 then fn || '--' || ext
+       else fn end as fname
+from t
+"""
+
+
+# =====================================================================
 # DOI resolution cascade (C15 full form; reference utils.py:509-663)
 # =====================================================================
 def q_doi_cascade(spark, sf_dir):
@@ -1291,6 +1331,7 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scalar_cleanup": q_scalar_cleanup,
         "percentile": q_percentile,
         "contact_collect": q_contact_collect,
+        "import_filename": q_import_filename,
         "doi_cascade": q_doi_cascade,
         "approx_distinct": q_approx_distinct,
     }
@@ -1337,6 +1378,7 @@ def all_oracle_sql() -> dict[str, str]:
         "scalar_cleanup": SQL_SCALAR_CLEANUP,
         "percentile": SQL_PERCENTILE,
         "contact_collect": SQL_CONTACT_COLLECT,
+        "import_filename": SQL_IMPORT_FILENAME,
         "doi_cascade": SQL_DOI_CASCADE,
         # approx_distinct: intentionally no oracle (HLL is
         # algorithm-specific); the driver records a rows-only check

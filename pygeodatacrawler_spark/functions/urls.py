@@ -125,6 +125,34 @@ def safe_filename_py(name: str) -> str:
     )
 
 
+def ascii_fold_py(s: str) -> str:
+    """NFKD transliteration to ASCII — the stdlib core of the
+    reference's unidecode step (utils.py:874). Covers Latin accent
+    folding ('Páblito' -> 'Pablito'); unidecode's wider tables (CJK
+    romanization etc.) are out of scope, documented as such."""
+    import unicodedata
+
+    return (
+        unicodedata.normalize("NFKD", s).encode("ascii", "ignore").decode("ascii")
+    )
+
+
+def ascii_fold(name: Column) -> Column:
+    """Arrow-batched twin of :func:`ascii_fold_py` (no built-in Spark
+    transliteration). Cold-path only — filenames at sink time, never in
+    per-row crawl logic."""
+    import pandas as pd  # noqa: F401  (Arrow batch type)
+    from pyspark.sql.functions import pandas_udf
+
+    # note: no parameter annotations — `from __future__ import
+    # annotations` stringifies them, which breaks eval-type inference
+    def _fold_impl(s):
+        return s.map(lambda x: ascii_fold_py(x) if x is not None else None)
+
+    _fold = pandas_udf(_fold_impl, "string")
+    return _fold(name)
+
+
 def url_hash(canon_url: Column) -> Column:
     """64-bit key of a canonical URL — the frontier/seen join key.
 
