@@ -1109,6 +1109,79 @@ from kept where rn = 1
 
 
 # =====================================================================
+# WMS capabilities per-layer fan-out (S9; utils.py:798-850)
+# =====================================================================
+def q_layer_explode(spark, sf_dir):
+    """Capabilities doc -> one row per NAMED layer (unnamed group
+    layers dropped), layer title falling back to the service title,
+    service/provider fields carried onto every row."""
+    from pygeodatacrawler_spark.operators.ows import layer_explode
+
+    d = _table(spark, sf_dir, "documents")
+    i = F.col("doc_id").cast("string")
+    caps = F.concat(
+        F.lit('{"identification":{"title":"Svc '), i,
+        F.lit('","abstract":"SA '), i,
+        F.lit('","accessconstraints":"none","fees":"none"},'
+              '"provider":{"name":"Prov '),
+        (F.col("doc_id") % 4).cast("string"),
+        F.lit('","url":"https://prov.org"},"layers":['
+              '{"name":"","title":"group"},'
+              '{"name":"lyr'), i,
+        F.lit('_a","title":"","keywords":["k1","k2"],"bbox":[0.0,0.0,'),
+        (F.col("doc_id") % 90).cast("string"),
+        F.lit('.5,45.0],"metadataUrls":[{"url":"https://cat/rec'), i,
+        F.lit('","format":"text/xml"}]},'
+              '{"name":"lyr'), i,
+        F.lit('_b","title":"B title '), i, F.lit('"}]}'),
+    )
+    df = d.select(
+        F.concat(F.lit("https://wms.example.org/"), i).alias("service_url"),
+        "doc_id",
+        caps.alias("capabilities"),
+    )
+    out = layer_explode(df)
+    return out.select(
+        F.col("service_url"),
+        "layer_name",
+        "layer_title",
+        "provider_name",
+        F.size("layer_keywords").alias("n_keywords"),
+        F.size("metadataUrls").alias("n_meta"),
+        F.round(F.coalesce(F.element_at("bbox", 3), F.lit(-1.0)), 1).alias("maxx"),
+    )
+
+
+SQL_LAYER_EXPLODE = """
+with caps as (
+  select doc_id,
+    'https://wms.example.org/' || doc_id as service_url,
+    '{"identification":{"title":"Svc ' || doc_id || '","abstract":"SA ' || doc_id ||
+    '","accessconstraints":"none","fees":"none"},"provider":{"name":"Prov ' || (doc_id % 4) ||
+    '","url":"https://prov.org"},"layers":[{"name":"","title":"group"},{"name":"lyr' || doc_id ||
+    '_a","title":"","keywords":["k1","k2"],"bbox":[0.0,0.0,' || (doc_id % 90) ||
+    '.5,45.0],"metadataUrls":[{"url":"https://cat/rec' || doc_id ||
+    '","format":"text/xml"}]},{"name":"lyr' || doc_id || '_b","title":"B title ' || doc_id || '"}]}' as j
+  from documents),
+lyr as (
+  select service_url, j, i,
+    json_extract_string(j, '$.layers[' || i || '].name') as layer_name,
+    json_extract_string(j, '$.layers[' || i || '].title') as raw_title
+  from caps, unnest(range(json_array_length(j, '$.layers')::BIGINT)) as t(i))
+select service_url, layer_name,
+  case when raw_title is null or raw_title = ''
+       then json_extract_string(j, '$.identification.title')
+       else raw_title end as layer_title,
+  json_extract_string(j, '$.provider.name') as provider_name,
+  coalesce(json_array_length(j, '$.layers[' || i || '].keywords'), 0)::INT as n_keywords,
+  coalesce(json_array_length(j, '$.layers[' || i || '].metadataUrls'), 0)::INT as n_meta,
+  round(coalesce((j->>('$.layers[' || i || '].bbox[2]'))::DOUBLE, -1.0), 1) as maxx
+from lyr
+where layer_name is not null and layer_name <> ''
+"""
+
+
+# =====================================================================
 # CSV-import filename rule (C17/O3; reference metadata.py:525-534)
 # =====================================================================
 def q_import_filename(spark, sf_dir):
@@ -1332,6 +1405,7 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "percentile": q_percentile,
         "contact_collect": q_contact_collect,
         "import_filename": q_import_filename,
+        "layer_explode": q_layer_explode,
         "doi_cascade": q_doi_cascade,
         "approx_distinct": q_approx_distinct,
     }
@@ -1379,6 +1453,7 @@ def all_oracle_sql() -> dict[str, str]:
         "percentile": SQL_PERCENTILE,
         "contact_collect": SQL_CONTACT_COLLECT,
         "import_filename": SQL_IMPORT_FILENAME,
+        "layer_explode": SQL_LAYER_EXPLODE,
         "doi_cascade": SQL_DOI_CASCADE,
         # approx_distinct: intentionally no oracle (HLL is
         # algorithm-specific); the driver records a rows-only check
