@@ -165,6 +165,95 @@ def simhash_buckets(
     )
 
 
+def simhash64(
+    df: DataFrame, id_col: str, text_col: str, bits: int = 64
+) -> DataFrame:
+    """(id, simhash) with a full 64-bit signature — the production
+    variant of simhash_buckets (which stays at 16 bits for oracle
+    portability).
+
+    Shape: explode tokens -> one groupBy(id) with ``bits`` conditional
+    sums (map-side partial aggregation; one shuffle regardless of bit
+    width) -> signature assembled from the vote signs. Token hashing is
+    xxhash64 (JVM, full 64-bit entropy). Bit 63's contribution is the
+    two's-complement minimum so the assembled long never overflows.
+    """
+    toks = df.select(
+        F.col(id_col), F.explode(tokens(F.col(text_col))).alias("_t")
+    ).withColumn("_h", F.xxhash64("_t"))
+    votes = [
+        F.sum(
+            F.when(F.shiftright(F.col("_h"), i).bitwiseAND(F.lit(1)) == 1, 1)
+            .otherwise(-1)
+        ).alias(f"v{i}")
+        for i in range(bits)
+    ]
+    agg = toks.groupBy(id_col).agg(*votes)
+    sig = F.lit(0).cast("long")
+    for i in range(bits):
+        weight = F.lit(-(2**63)) if i == 63 else F.lit(1 << i)
+        sig = sig + F.when(F.col(f"v{i}") > 0, weight).otherwise(F.lit(0))
+    return agg.select(F.col(id_col), sig.alias("simhash"))
+
+
+def simhash_near_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_hamming: int = 3,
+    bits: int = 64,
+) -> DataFrame:
+    """Near-dup pairs (id_a < id_b, hamming(sig) <= max_hamming) via
+    block banding: the 64-bit signature splits into ``max_hamming + 1``
+    blocks; by pigeonhole, two signatures within the hamming budget
+    agree exactly on at least one block, so only (block_id, block_value)
+    keys ever shuffle — the rotation/block trick the 16-bit module
+    docstring promises, never an all-pairs join. Exact hamming verifies
+    candidates with one bit_count(xor) filter.
+    """
+    n_blocks = max_hamming + 1
+    width = bits // n_blocks
+    mask = (1 << width) - 1
+    sig = simhash64(df, id_col, text_col, bits)
+    blocks = sig.select(
+        F.col(id_col),
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("block"),
+                        F.shiftrightunsigned(F.col("simhash"), b * width)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("bv"),
+                    )
+                    for b in range(n_blocks)
+                ]
+            )
+        ).alias("bb"),
+    ).select(id_col, "simhash", "bb.block", "bb.bv")
+    a = blocks.alias("a")
+    b = blocks.alias("b")
+    ham = F.bit_count(
+        F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+    )
+    return (
+        a.join(
+            b,
+            (F.col("a.block") == F.col("b.block"))
+            & (F.col("a.bv") == F.col("b.bv"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .filter(ham <= max_hamming)
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            ham.alias("hamming"),
+        )
+        .distinct()
+    )
+
+
 def ngram_jaccard_verify(
     df: DataFrame,
     pairs: DataFrame,
