@@ -300,10 +300,14 @@ def load_pages(
     pages_pd, seeds_pd, robots_pd = generate_pages(
         n_pages, n_hosts, seed, words_min, words_max
     )
+    # cache the fixture page store: without it every crawl round's
+    # pages-probe job re-ships the whole pandas frame from the driver
+    # (LocalTableScan); a real deployment reads a parquet/Iceberg store
+    # where the probe is a pruned scan. Fixture sizes are <=100MB.
     pages = spark.createDataFrame(
         pages_pd,
         schema="url string, warc_ts timestamp, html binary, text string, lang string",
-    )
+    ).cache()
     seeds = spark.createDataFrame(seeds_pd, schema="url string, depth int")
     robots = spark.createDataFrame(
         robots_pd.astype(object).where(robots_pd.notna(), None),

@@ -136,8 +136,13 @@ class CrawlEngine:
             spark, workdir, "frontier",
             merge_log=True, key="url_hash", order_col="canon_url",
         )
-        # append-log table: O(batch) appends, read() unions the log
-        self.records = SnapshotTable(spark, workdir, "records", log=True)
+        # append-log table: O(batch) appends, read() unions the log.
+        # delta_partitions=None keeps the write's natural partitioning:
+        # the per-file footer rows of each round's version double as the
+        # lineage partition-balance metric, with NO extra Spark action
+        self.records = SnapshotTable(
+            spark, workdir, "records", log=True, delta_partitions=None
+        )
         # lineage is the SINGLE COMMIT POINT of a round: the fsync'd
         # JSONL line carries the frontier/records snapshot versions the
         # round produced; resume rolls back any snapshot version not
@@ -247,18 +252,6 @@ class CrawlEngine:
         else:
             batch = repartition_for_fetch(batch.withColumn("salt", F.lit(0)))
         batch = batch.select(*FRONTIER_COLS, "host_rank", "salt").cache()
-        # one action materializes the batch AND yields size + partition
-        # balance (the lineage skew metric) — no separate count()
-        pstats = (
-            batch.groupBy(F.spark_partition_id().alias("pid"))
-            .agg(F.count("*").alias("rows"))
-            .collect()
-        )
-        n_batch = sum(r["rows"] for r in pstats)
-        if n_batch == 0:
-            return {"round": round_no, "rows_in": 0, "rows_out": 0, "done": True}
-        n_parts = len(pstats)
-        skew = max(r["rows"] for r in pstats) / (n_batch / n_parts)
 
         # fetch (HTTP stand-in): probe the pages store with the batch keys.
         # The batch side is tiny (hosts x budget keys) -> broadcast it and
@@ -287,9 +280,41 @@ class CrawlEngine:
             .withColumn("text_sha2", F.sha2(F.coalesce(F.col("text"), F.lit("")), 256))
         )
         # one record row per batch row by construction (1:1 left joins);
-        # missing pages carry null text — no extra count() action needed
+        # missing pages carry null text
         records = records.cache()
+
+        # FIRST action of the round: append the records log. This one
+        # job materializes the batch cache, runs the extract UDF, and
+        # writes the version whose parquet footers then give — with NO
+        # further Spark jobs — the batch size (1:1 with records), the
+        # per-partition row balance (lineage skew metric), and the
+        # empty-round termination check.
+        prev_records_v = self.records.latest_version() or 0
+        records_v = self.records.append(
+            records.select(
+                "url_hash",
+                "canon_url",
+                "registered_domain",
+                "depth",
+                "round",
+                "text",
+                "text_sha2",
+                "links",
+                "n_bytes",
+            )
+        )
+        file_rows = [n for n in self.records.version_file_rows(records_v) if n > 0]
+        n_batch = sum(file_rows)
+        if n_batch == 0:
+            # nothing pending: drop the empty version, converged
+            self.records.rollback(prev_records_v)
+            batch.unpersist()
+            records.unpersist()
+            frontier.unpersist()
+            return {"round": round_no, "rows_in": 0, "rows_out": 0, "done": True}
         n_records = n_batch
+        n_parts = len(file_rows)
+        skew = max(file_rows) / (n_batch / n_parts)
 
         # expand: new links -> candidate frontier rows
         links = (
@@ -313,7 +338,8 @@ class CrawlEngine:
         # Small frontier: the anti-join alone is cheaper than building
         # and shipping bitmaps — adaptive, like the reference checking
         # os.path.exists only because it is cheap.
-        if self._n_frontier >= self.bloom_min_frontier:
+        use_bloom = self._n_frontier >= self.bloom_min_frontier
+        if use_bloom:
             bloom = build_bloom(
                 frontier.select("url_hash"),
                 n_buckets=self.bloom_buckets,
@@ -337,16 +363,18 @@ class CrawlEngine:
             confirmed_new = maybes.join(
                 frontier.select("url_hash"), "url_hash", "left_anti"
             )
-            new_links = definitely_new.unionByName(confirmed_new).cache()
+            new_links = definitely_new.unionByName(confirmed_new)
         else:
             new_links = links.join(
                 frontier.select("url_hash"), "url_hash", "left_anti"
-            ).cache()
-        n_new = new_links.count()
-        self._n_frontier += n_new
+            )
 
         # commit: frontier MERGE is an O(batch) delta append (fetched
-        # state flips + new pendings; disjoint keys by construction)
+        # state flips + new pendings; disjoint keys by construction).
+        # The extract->expand->seen pipeline runs ONCE, inside this
+        # write — no separate count() action re-running it; the new-link
+        # count comes from the committed delta's parquet footers
+        # (driver-side metadata, zero Spark jobs).
         fetched_rows = batch.select(*FRONTIER_COLS).withColumn(
             "state", F.lit("fetched")
         )
@@ -354,23 +382,18 @@ class CrawlEngine:
             fetched_rows.unionByName(new_links),
             current=frontier,
         )
-
-        records_v = self.records.append(
-            records.select(
-                "url_hash",
-                "canon_url",
-                "registered_domain",
-                "depth",
-                "round",
-                "text",
-                "text_sha2",
-                "links",
-                "n_bytes",
+        if self.frontier.last_delta_version is not None:
+            # delta = n_batch state flips + the new pendings
+            n_new = (
+                self.frontier.version_rows(self.frontier.last_delta_version)
+                - n_batch
             )
-        )
+        else:  # COW fallback (first write): full table = old + new
+            n_new = self.frontier.version_rows(frontier_v) - self._n_frontier
+        self._n_frontier += n_new
 
-        # lineage: partition balance was captured in the same action that
-        # materialized the batch (pstats above) — north-rule metrics
+        # lineage: partition balance came from the records version's
+        # parquet footers (north-rule metrics, no extra action)
         wall = time.monotonic() - t0
         line = {
             "round": round_no,
@@ -389,7 +412,6 @@ class CrawlEngine:
         self._append_lineage(line)
         batch.unpersist()
         records.unpersist()
-        new_links.unpersist()
         frontier.unpersist()
         self.stats.rounds += 1
         self.stats.urls_fetched += n_batch

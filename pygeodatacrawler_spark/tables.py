@@ -52,6 +52,7 @@ class SnapshotTable:
         key: str | None = None,
         order_col: str | None = None,
         compact_every: int = 10,
+        delta_partitions: int | None = 8,
     ):
         if merge_log and key is None:
             raise ValueError("merge_log tables need a key column")
@@ -61,6 +62,8 @@ class SnapshotTable:
         self.key = key
         self.order_col = order_col
         self.compact_every = compact_every
+        self.delta_partitions = delta_partitions
+        self.last_delta_version: int | None = None
         self.dir = os.path.join(root, name)
         self.meta_path = os.path.join(self.dir, "_meta.json")
         os.makedirs(self.dir, exist_ok=True)
@@ -124,20 +127,22 @@ class SnapshotTable:
     def _resolve(self, v: int) -> DataFrame:
         """Merge-on-read state at version ``v``: union the last base
         (≤ v) with the deltas after it; last writer wins per key (one
-        window shuffle on the key — no table rewrite ever happened)."""
+        window shuffle on the key — no table rewrite ever happened).
+
+        All versions are read in ONE multi-path scan (one plan, one
+        stage) with the version recovered from the file path — 10+
+        per-version scans planned separately measured ~2x slower on the
+        crawl loop at sandbox scale."""
         m = self._meta()
         bases = [b for b in m["bases"] if b <= v]
         base = bases[-1] if bases else None
         vs = [x for x in m["versions"] if x <= v and (base is None or x >= base)]
-        parts = [
-            self.spark.read.parquet(self._vdir(x)).withColumn("_v", F.lit(x))
-            for x in vs
-        ]
-        allrows = parts[0]
-        for p in parts[1:]:
-            allrows = allrows.unionByName(p)
-        if len(parts) == 1 and base is not None:
-            return allrows.drop("_v")
+        if len(vs) == 1:
+            return self.spark.read.parquet(self._vdir(vs[0]))
+        allrows = self.spark.read.parquet(*[self._vdir(x) for x in vs]).withColumn(
+            "_v",
+            F.regexp_extract(F.input_file_name(), r"/v(\d+)/", 1).cast("int"),
+        )
         order = [F.col("_v").desc()]
         if self.order_col is not None:
             order.append(F.col(self.order_col))
@@ -176,8 +181,14 @@ class SnapshotTable:
         """
         key = key or self.key
         order_col = order_col or self.order_col
+        self.last_delta_version = None  # set only by the delta path below
         if self.merge_log and self.exists():
-            v = self.write_snapshot(batch, base=False)
+            # deltas are small (O(batch)); without coalesce each delta
+            # inherits the upstream shuffle partitioning (~3x cores
+            # files), and a 10-delta read drags ~1000 tiny files
+            v = self.write_snapshot(batch.coalesce(self.delta_partitions), base=False)
+            # callers derive per-round counts from this delta's footers
+            self.last_delta_version = v
             m = self._meta()
             last_base = m["bases"][-1] if m["bases"] else 0
             n_deltas = len([x for x in m["versions"] if x > last_base])
@@ -204,9 +215,37 @@ class SnapshotTable:
         return self.write_snapshot(merged)
 
     def append(self, batch: DataFrame) -> int:
-        if self.log or not self.exists():
+        if self.log:
+            # log appends are O(batch): when delta_partitions is set,
+            # keep the file count per version small so log reads don't
+            # drag thousands of tiny files; None preserves the natural
+            # partitioning (per-file footer rows then ARE the stage's
+            # partition balance — the lineage skew metric)
+            if self.delta_partitions:
+                batch = batch.coalesce(self.delta_partitions)
+            return self.write_snapshot(batch)
+        if not self.exists():
             return self.write_snapshot(batch)
         return self.write_snapshot(self.read().unionByName(batch))
+
+    def version_file_rows(self, version: int) -> list[int]:
+        """Per-file row counts of one version from parquet footers —
+        driver-side metadata only, NO Spark job. One file = one write
+        partition, so this doubles as the partition-balance metric."""
+        import glob as _glob
+
+        import pyarrow.parquet as pq
+
+        return [
+            pq.ParquetFile(f).metadata.num_rows
+            for f in sorted(
+                _glob.glob(os.path.join(self._vdir(version), "*.parquet"))
+            )
+        ]
+
+    def version_rows(self, version: int) -> int:
+        """Total row count of one version (footers; no Spark job)."""
+        return sum(self.version_file_rows(version))
 
     def drop(self) -> None:
         shutil.rmtree(self.dir, ignore_errors=True)

@@ -54,16 +54,18 @@ class _Boom(RuntimeError):
 
 def _crash_mid_round(spark, pages, seeds, robots, tmp, crash_point: str):
     """Run 1 clean round, then crash round 2 mid-commit: either after
-    the frontier merge but before the records append ('after_merge') or
-    after both table writes but before the lineage line ('before_lineage')
-    — the two non-atomic windows ADVICE.md flags."""
+    the records append but before the frontier merge ('after_records')
+    or after both table writes but before the lineage line
+    ('before_lineage') — the two non-atomic windows ADVICE.md flags."""
     eng = CrawlEngine(spark, tmp, pages, robots, host_budget=BUDGET)
     eng.init_from_seeds(seeds)
     eng.run(max_rounds=1)
 
     crasher = CrawlEngine(spark, tmp, pages, robots, host_budget=BUDGET)
-    if crash_point == "after_merge":
-        crasher.records.append = lambda df: (_ for _ in ()).throw(_Boom())
+    if crash_point == "after_records":
+        crasher.frontier.merge_upsert = lambda *a, **k: (_ for _ in ()).throw(
+            _Boom()
+        )
     else:
         orig = crasher._append_lineage
 
@@ -100,7 +102,7 @@ def test_mid_round_crash_replays_identically(spark):
     back and the replay converges to the uninterrupted run."""
     pages, seeds, robots = load_pages(spark, n_pages=N_PAGES, n_hosts=N_HOSTS)
     full = _final_state(spark, pages, seeds, robots, interrupt=False)
-    for crash_point in ("after_merge", "before_lineage"):
+    for crash_point in ("after_records", "before_lineage"):
         with tempfile.TemporaryDirectory() as tmp:
             _crash_mid_round(spark, pages, seeds, robots, tmp, crash_point)
             fresh = CrawlEngine(spark, tmp, pages, robots, host_budget=BUDGET)
