@@ -1361,6 +1361,317 @@ def q_approx_distinct(spark, sf_dir):
 
 
 # =====================================================================
+# mapfile class generation (C7 full) + CRS math (C4/C5)
+# =====================================================================
+_CLASS_COLORS = ("#ff0000", "#ffff00", "#00ff00", "#00ffff")
+
+
+def q_color_classes(spark, sf_dir):
+    # C7 colorCoding mode 1 (mapfile.py:403-425): per-layer equal-width
+    # classes over [min,max] with DECIMAL(38,4)-rendered labels and
+    # mapserver range EXPRESSIONs. One agg + one explode — no driver loop.
+    from pygeodatacrawler_spark.functions.mapfile import equal_width_classes
+
+    part = _table(spark, sf_dir, "part")
+    bounds = part.groupBy("p_brand").agg(
+        F.round(F.min("p_retailprice"), 2).alias("mn"),
+        F.round(F.max("p_retailprice"), 2).alias("mx"),
+    )
+    return equal_width_classes(
+        bounds, "pixel", colors=_CLASS_COLORS, group_name="Default"
+    ).select("p_brand", "idx", "lo", "hi", "color", "label", "expression", "grp")
+
+
+SQL_COLOR_CLASSES = """
+with bounds as (
+  select p_brand, round(min(p_retailprice), 2) as mn,
+         round(max(p_retailprice), 2) as mx
+  from part group by p_brand
+), expl as (
+  select p_brand, mn, mx, unnest([0,1,2,3]) as idx from bounds
+  where mx - mn > 0
+), cls as (
+  select p_brand, idx,
+         round(mn + idx * (mx - mn) / 4, 4) as lo,
+         round(mn + (idx + 1) * (mx - mn) / 4, 4) as hi,
+         (['#ff0000','#ffff00','#00ff00','#00ffff'])[idx + 1] as color
+  from expl
+  union all
+  select p_brand, 0 as idx, round(mn, 4) as lo, round(mn, 4) as hi,
+         '#ff0000' as color
+  from bounds where mx - mn = 0
+)
+select p_brand, idx, lo, hi, color,
+  case when hi > lo
+       then lo::decimal(38,4)::varchar || ' - ' || hi::decimal(38,4)::varchar
+       else lo::decimal(38,4)::varchar end as label,
+  case when hi > lo
+       then '( [pixel] >= ' || lo::decimal(38,4)::varchar ||
+            ' AND [pixel] <= ' || hi::decimal(38,4)::varchar || ' )'
+       else '( [pixel] = ' || lo::decimal(38,4)::varchar || ' )' end
+    as expression,
+  'Default' as grp
+from cls
+"""
+
+
+def q_style_classes(spark, sf_dir):
+    # C7 colorCoding modes 2+3 (mapfile.py:430-440): config-driven
+    # absolute-value and range classes, rendered to full CLASS blocks
+    # with msStyler polygon STYLE bodies (mapfile.py:448-465).
+    from pygeodatacrawler_spark.functions.mapfile import (
+        config_classes,
+        render_class_block,
+    )
+
+    docs = _table(spark, sf_dir, "documents")
+    layers = docs.select(F.col("source").alias("layer")).distinct()
+    classes = spark.createDataFrame(
+        [
+            ("urban", "Urban areas", None, None, "#ff0000"),
+            ("42", None, None, None, "255 128 0"),
+            (None, None, 0.0, 0.5, "#00ff00"),
+            (None, None, 0.5, 1.0, None),
+        ],
+        "val string, lbl string, cmin double, cmax double, color string",
+    )
+    out = config_classes(layers, classes, "score", group_name="Styled")
+    return render_class_block(out, "polygon").select(
+        "layer", "label", "expression", "grp", "class_block"
+    )
+
+
+SQL_STYLE_CLASSES = """
+with layers as (select distinct source as layer from documents),
+cfg(val, lbl, cmin, cmax, color) as (values
+  ('urban', 'Urban areas', null, null, '#ff0000'),
+  ('42', null, null, null, '255 128 0'),
+  (null, null, 0.0, 0.5, '#00ff00'),
+  (null, null, 0.5, 1.0, null)
+), rendered as (
+  select
+    case when val is not null then
+      '( [score] = ' ||
+      (case when regexp_matches(val, '^-?\\d+(\\.\\d+)?$') then val
+            else '"' || val || '"' end) || ' )'
+    when cmin is not null and cmax is not null then
+      '( [score] >= ' || cmin::varchar || ' AND [score] <= ' ||
+      cmax::varchar || ' )'
+    end as expression,
+    coalesce(lbl, val, cmin::varchar || ' - ' || cmax::varchar) as label,
+    case
+      when color is null then '#eeeeee'
+      when trim(color) = '' then '#CCCCCC'
+      when len(string_split_regex(trim(color), '\\s+')) = 3 then
+        '#' || lpad(format('{:x}', string_split_regex(trim(color), '\\s+')[1]::int), 2, '0')
+            || lpad(format('{:x}', string_split_regex(trim(color), '\\s+')[2]::int), 2, '0')
+            || lpad(format('{:x}', string_split_regex(trim(color), '\\s+')[3]::int), 2, '0')
+      else color end as hex
+  from cfg
+)
+select layer, label, expression, 'Styled' as grp,
+  'CLASS' || chr(10) || 'NAME "' || label || '"' || chr(10) ||
+  'GROUP "Styled"' || chr(10) || 'EXPRESSION ' || expression || chr(10) ||
+  'STYLE' || chr(10) ||
+  'COLOR "' || hex || '"' || chr(10) ||
+  'OUTLINECOLOR "#232323"' || chr(10) || 'OUTLINEWIDTH 0.1' || chr(10) ||
+  'END' || chr(10) || 'END' || chr(10) || chr(10) as class_block
+from layers, rendered
+where expression is not null
+"""
+
+
+def q_crs_codes(spark, sf_dir):
+    # C4 crs2code (utils.py:207-229): authority recovery from every
+    # textual CRS form OSR round-trips; oracle = the ground-truth code
+    # each row was constructed from (stronger than re-running the regex).
+    from pygeodatacrawler_spark.functions.geo import crs2code
+
+    n = _table(spark, sf_dir, "nation")
+    code = (F.lit(4000) + F.col("n_nationkey")).cast("string")
+    form = F.col("n_nationkey") % 5
+    crs_str = (
+        F.when(form == 0, F.concat(F.lit("EPSG:"), code))
+        .when(form == 1, F.concat(F.lit("urn:ogc:def:crs:EPSG::"), code))
+        .when(
+            form == 2,
+            F.concat(
+                F.lit('PROJCS["local",GEOGCS["WGS 84",'
+                      'AUTHORITY["EPSG","4326"]],AUTHORITY["EPSG","'),
+                code,
+                F.lit('"]]'),
+            ),
+        )
+        .when(
+            form == 3,
+            F.concat(F.lit("http://www.opengis.net/def/crs/EPSG/0/"), code),
+        )
+        .otherwise(F.lit("WGS 84 / local grid"))
+    )
+    return n.select(
+        "n_nationkey",
+        crs_str.alias("crs_str"),
+        crs2code(crs_str).alias("code"),
+    )
+
+
+SQL_CRS_CODES = """
+select n_nationkey,
+  case n_nationkey % 5
+    when 0 then 'EPSG:' || (4000 + n_nationkey)::varchar
+    when 1 then 'urn:ogc:def:crs:EPSG::' || (4000 + n_nationkey)::varchar
+    when 2 then 'PROJCS["local",GEOGCS["WGS 84",AUTHORITY["EPSG","4326"]],' ||
+                'AUTHORITY["EPSG","' || (4000 + n_nationkey)::varchar || '"]]'
+    when 3 then 'http://www.opengis.net/def/crs/EPSG/0/' ||
+                (4000 + n_nationkey)::varchar
+    else 'WGS 84 / local grid' end as crs_str,
+  case when n_nationkey % 5 = 4 then ''
+       else 'EPSG:' || (4000 + n_nationkey)::varchar end as code
+from nation
+"""
+
+
+def q_reproject_bounds(spark, sf_dir):
+    # C5 reprojectBounds (utils.py:240-256): 4326->3857 web-mercator
+    # corner transform + inverse roundtrip, closed-form Column math.
+    from pygeodatacrawler_spark.functions.geo import reproject_bounds
+
+    part = _table(spark, sf_dir, "part")
+    lon = (F.col("p_partkey") % 340 - 170).cast("double")
+    lat = (F.col("p_partkey") % 160 - 80).cast("double")
+    fwd = reproject_bounds(lon, lat, lon + 5, lat + 5, 4326, 3857)
+    inv = reproject_bounds(
+        F.element_at(fwd, 1), F.element_at(fwd, 2),
+        F.element_at(fwd, 3), F.element_at(fwd, 4),
+        3857, 4326,
+    )
+    # + 0.0 collapses IEEE negative zero after rounding (both engines)
+    return part.select(
+        "p_partkey",
+        (F.round(F.element_at(fwd, 1), 4) + 0.0).alias("x0"),
+        (F.round(F.element_at(fwd, 2), 4) + 0.0).alias("y0"),
+        (F.round(F.element_at(fwd, 3), 4) + 0.0).alias("x1"),
+        (F.round(F.element_at(fwd, 4), 4) + 0.0).alias("y1"),
+        (F.round(F.element_at(inv, 1), 6) + 0.0).alias("rlon0"),
+        (F.round(F.element_at(inv, 2), 6) + 0.0).alias("rlat0"),
+    )
+
+
+SQL_REPROJECT = """
+with pts as (
+  select p_partkey,
+         (p_partkey % 340 - 170)::double as lon,
+         (p_partkey % 160 - 80)::double as lat
+  from part
+), fwd as (
+  select p_partkey,
+         radians(lon) * 6378137 as fx0,
+         ln(tan(pi()/4 + radians(lat)/2)) * 6378137 as fy0,
+         radians(lon + 5) * 6378137 as fx1,
+         ln(tan(pi()/4 + radians(lat + 5)/2)) * 6378137 as fy1
+  from pts
+)
+select p_partkey,
+       round(fx0, 4) + 0.0 as x0, round(fy0, 4) + 0.0 as y0,
+       round(fx1, 4) + 0.0 as x1, round(fy1, 4) + 0.0 as y1,
+       round(degrees(fx0 / 6378137), 6) + 0.0 as rlon0,
+       round(degrees(2 * atan(exp(fy0 / 6378137)) - pi()/2), 6) + 0.0 as rlat0
+from fwd
+"""
+
+
+def q_dc_normalize(spark, sf_dir):
+    # C13 parseDC full normalization (utils.py:688-769): 25-key
+    # default-fill, name->title->fname cascade, identifier-as-dataseturi,
+    # license url-vs-name split, modified/year datestamp fallback,
+    # distribution www row. DC fields synthesized deterministically from
+    # documents; all Column exprs, codegen'd.
+    from pygeodatacrawler_spark.functions.metadata import parse_dc_fields
+
+    d = _table(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    fname = F.concat(F.lit("doc_"), did.cast("string"), F.lit(".csv"))
+    title = F.concat(F.lit("Doc "), did.cast("string"))
+    dct = {
+        "title": title,
+        "name": F.when(did % 4 == 0, F.lit("")).otherwise(title),
+        "identifier": F.when(
+            did % 3 == 0, F.concat(F.lit("https://example.org/id/"), did.cast("string"))
+        ).when(did % 3 == 1, F.concat(F.lit("ID-"), did.cast("string"))).otherwise(
+            F.lit("")
+        ),
+        "description": F.substring(F.col("text"), 1, 20),
+        "abstract": F.when(did % 2 == 0, F.lit("More.")).otherwise(F.lit("")),
+        "modified": F.when(did % 2 == 0, F.lit("2021-03-04")).otherwise(F.lit("")),
+        "year": F.lit("2019"),
+        "created": F.lit(""),
+        "license": F.when(
+            did % 3 == 0, F.lit("https://creativecommons.org/licenses/by/4.0/")
+        ).when(did % 3 == 1, F.lit("CC-BY-4.0")).otherwise(F.lit("")),
+        "copyright": F.col("source"),
+        "url": F.when(did % 5 == 0, F.lit("")).otherwise(
+            F.concat(F.lit("https://example.org/d/"), did.cast("string"))
+        ),
+    }
+    fields = parse_dc_fields(dct, fname, safe_filename(title))
+    return d.select(
+        "doc_id", *[c.alias(k) for k, c in fields.items()]
+    )
+
+
+SQL_DC_NORMALIZE = """
+with dc as (
+  select doc_id,
+    'doc_' || doc_id::varchar || '.csv' as fname,
+    'Doc ' || doc_id::varchar as title,
+    case when doc_id % 4 = 0 then '' else 'Doc ' || doc_id::varchar end as name,
+    case doc_id % 3
+      when 0 then 'https://example.org/id/' || doc_id::varchar
+      when 1 then 'ID-' || doc_id::varchar else '' end as identifier,
+    substring(text, 1, 20) as description,
+    case when doc_id % 2 = 0 then 'More.' else '' end as abstract,
+    case when doc_id % 2 = 0 then '2021-03-04' else '' end as modified,
+    '2019' as year, '' as created,
+    case doc_id % 3
+      when 0 then 'https://creativecommons.org/licenses/by/4.0/'
+      when 1 then 'CC-BY-4.0' else '' end as license,
+    source as copyright,
+    case when doc_id % 5 = 0 then ''
+         else 'https://example.org/d/' || doc_id::varchar end as url
+  from documents
+), norm as (
+  select doc_id, fname,
+    coalesce(nullif(trim(name), ''), nullif(trim(title), ''), fname) as title,
+    coalesce(nullif(trim(identifier), ''),
+             translate(title, '# !/\\:;()[]{}&~%+,', '-------')) as identifier,
+    nullif(trim(description), '') as description_ne,
+    nullif(trim(abstract), '') as abstract_ne,
+    nullif(trim(modified), '') as modified_ne,
+    nullif(trim(year), '') as year_ne,
+    nullif(trim(created), '') as created_ne,
+    copyright,
+    nullif(trim(license), '') as license_ne,
+    nullif(trim(url), '') as url_ne
+  from dc
+)
+select doc_id, title, identifier,
+  case when starts_with(identifier, 'http') then identifier end as dataseturi,
+  concat_ws(' ', description_ne, abstract_ne) as abstract,
+  coalesce(modified_ne, year_ne) as datestamp,
+  coalesce(created_ne, year_ne) as creation,
+  coalesce(copyright, '') as rights,
+  case when starts_with(license_ne, 'http') then license_ne end as license_url,
+  case when not coalesce(starts_with(license_ne, 'http'), false)
+       then license_ne end as license_name,
+  'dataset' as hierarchylevel,
+  url_ne as dist_url,
+  case when url_ne is not null then fname end as dist_name,
+  case when url_ne is not null then 'www' end as dist_type
+from norm
+"""
+
+
+# =====================================================================
 # registry
 # =====================================================================
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -1407,6 +1718,11 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "import_filename": q_import_filename,
         "layer_explode": q_layer_explode,
         "doi_cascade": q_doi_cascade,
+        "color_classes": q_color_classes,
+        "style_classes": q_style_classes,
+        "crs_codes": q_crs_codes,
+        "reproject_bounds": q_reproject_bounds,
+        "dc_normalize": q_dc_normalize,
         "approx_distinct": q_approx_distinct,
     }
 
@@ -1455,6 +1771,11 @@ def all_oracle_sql() -> dict[str, str]:
         "import_filename": SQL_IMPORT_FILENAME,
         "layer_explode": SQL_LAYER_EXPLODE,
         "doi_cascade": SQL_DOI_CASCADE,
+        "color_classes": SQL_COLOR_CLASSES,
+        "style_classes": SQL_STYLE_CLASSES,
+        "crs_codes": SQL_CRS_CODES,
+        "reproject_bounds": SQL_REPROJECT,
+        "dc_normalize": SQL_DC_NORMALIZE,
         # approx_distinct: intentionally no oracle (HLL is
         # algorithm-specific); the driver records a rows-only check
     }

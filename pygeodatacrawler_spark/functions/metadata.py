@@ -28,36 +28,108 @@ import pyspark.sql.functions as F
 
 MCF_SCHEMA = (
     "kind string, identifier string, title string, abstract string, "
-    "keywords array<string>, datestamp string"
+    "keywords array<string>, datestamp string, hierarchylevel string, "
+    "bbox array<double>"
 )
 
-_ISO_BLOCK = re.compile(rb"(?s)<MD_Metadata>(.*?)</MD_Metadata>")
-_DC_BLOCK = re.compile(rb"(?s)<oai_dc:dc>(.*?)</oai_dc:dc>")
-_HTML_TITLE = re.compile(rb"(?is)<title[^>]*>(.*?)</title>")
+# namespace-prefix-tolerant tag matching: real ISO19139 ships as
+# <gmd:MD_Metadata ...> with gco:CharacterString leaf wrappers
+# (reference importer: schemas/iso19139/__init__.py:92-94 via owslib
+# xpath; CSW unwrap utils.py:771-786)
+_NS = rb"(?:[A-Za-z][\w.-]*:)?"
+
+
+def _block(data: bytes, tag: str) -> bytes | None:
+    t = tag.encode()
+    # (?=[\s>]) pins the tag-name end: 'keyword' must not match the
+    # <keywords> container, 'date' not <dateStamp>
+    m = re.search(
+        rb"(?s)<" + _NS + t + rb"(?=[\s>])[^>]*>(.*?)</" + _NS + t + rb">",
+        data,
+    )
+    return m.group(1) if m else None
+
+
+_CHARSTRING = re.compile(
+    rb"(?s)<" + _NS
+    + rb"(CharacterString|DateTime|Date|Decimal|Real)(?=[\s>])"
+    rb"[^>]*>(.*?)</" + _NS + rb"\1>"
+)
+
+
+def _text(block: bytes | None) -> str | None:
+    """Leaf text with gco:CharacterString/Date/Decimal unwrapping."""
+    if block is None:
+        return None
+    m = _CHARSTRING.search(block)
+    if m:
+        block = m.group(2)
+    s = block.decode("utf-8", errors="replace").strip()
+    return s if s else None
 
 
 def _tag(block: bytes, tag: str) -> str | None:
-    m = re.search(
-        rb"(?s)<" + tag.encode() + rb">(.*?)</" + tag.encode() + rb">", block
-    )
-    return m.group(1).decode("utf-8", errors="replace").strip() if m else None
+    return _text(_block(block, tag))
 
 
 def _tags(block: bytes, tag: str) -> list[str]:
-    return [
-        m.group(1).decode("utf-8", errors="replace").strip()
-        for m in re.finditer(
-            rb"(?s)<" + tag.encode() + rb">(.*?)</" + tag.encode() + rb">", block
+    t = tag.encode()
+    out = []
+    for m in re.finditer(
+        rb"(?s)<" + _NS + t + rb"(?=[\s>])[^>]*>(.*?)</" + _NS + t + rb">",
+        block,
+    ):
+        s = _text(m.group(1))
+        if s is not None:
+            out.append(s)
+    return out
+
+
+_ISO_BLOCK = re.compile(
+    rb"(?s)<" + _NS + rb"MD_Metadata(?=[\s>])[^>]*>(.*?)</"
+    + _NS + rb"MD_Metadata>"
+)
+_DC_BLOCK = re.compile(rb"(?s)<oai_dc:dc[^>]*>(.*?)</oai_dc:dc>")
+_HTML_TITLE = re.compile(rb"(?is)<title[^>]*>(.*?)</title>")
+_SCOPE = re.compile(
+    rb"(?s)<" + _NS + rb"MD_ScopeCode(?=[\s>])[^>]*?"
+    rb'(?:codeListValue="([^"]*)"[^>]*>|>)(.*?)</' + _NS + rb"MD_ScopeCode>"
+)
+
+
+def _float_or_none(s: str | None) -> float | None:
+    try:
+        return float(s) if s is not None else None
+    except ValueError:
+        return None
+
+
+def _iso_bbox(b: bytes) -> list[float]:
+    """EX_GeographicBoundingBox -> [minx,miny,maxx,maxy] like the
+    importer's extents.spatial bbox (iso19139/__init__.py:121-130)."""
+    vals = [
+        _float_or_none(_tag(b, t))
+        for t in (
+            "westBoundLongitude",
+            "southBoundLatitude",
+            "eastBoundLongitude",
+            "northBoundLatitude",
         )
     ]
+    return [] if any(v is None for v in vals) else vals
 
 
 def sniff_metadata_py(html: bytes | None) -> dict:
     """Classify and extract the page's embedded metadata record.
 
     Sniff order mirrors the reference's extension/content dispatch
-    (metadata.py:137-170): ISO19139 island first, then Dublin-Core,
-    else plain HTML (title only). Pure function of the bytes.
+    (metadata.py:137-170): ISO19139 island first (including the CSW
+    GetRecordByIdResponse wrapper, parseISO utils.py:771-786 — the
+    MD_Metadata element inside the response is the record), then
+    Dublin-Core, else plain HTML (title only). Namespace prefixes and
+    gco:CharacterString / gco:Date / gco:Decimal leaf wrappers are
+    normalized away, matching the owslib importer's xpath behavior
+    (schemas/iso19139/__init__.py:71-161). Pure function of the bytes.
     """
     empty = {
         "kind": None,
@@ -66,30 +138,43 @@ def sniff_metadata_py(html: bytes | None) -> dict:
         "abstract": None,
         "keywords": [],
         "datestamp": None,
+        "hierarchylevel": None,
+        "bbox": [],
     }
     if html is None:
         return empty
     m = _ISO_BLOCK.search(html)
     if m:
         b = m.group(1)
+        sc = _SCOPE.search(b)
+        level = None
+        if sc:
+            level = (sc.group(1) or sc.group(2) or b"").decode(
+                "utf-8", errors="replace"
+            ).strip() or None
         return {
             "kind": "iso19139",
             "identifier": _tag(b, "fileIdentifier"),
             "title": _tag(b, "title"),
             "abstract": _tag(b, "abstract"),
             "keywords": _tags(b, "keyword"),
-            "datestamp": _tag(b, "date"),
+            "datestamp": _tag(b, "dateStamp") or _tag(b, "date"),
+            # hierarchy defaults to dataset like parseDC/owslib
+            "hierarchylevel": level or "dataset",
+            "bbox": _iso_bbox(b),
         }
     m = _DC_BLOCK.search(html)
     if m:
         b = m.group(1)
         return {
+            **empty,
             "kind": "dublin-core",
             "identifier": _tag(b, "dc:identifier"),
             "title": _tag(b, "dc:title"),
             "abstract": _tag(b, "dc:description"),
             "keywords": _tags(b, "dc:subject"),
             "datestamp": _tag(b, "dc:date"),
+            "hierarchylevel": "dataset",
         }
     t = _HTML_TITLE.search(html)
     return {
@@ -126,6 +211,53 @@ def check_id(
         F.nullif(doi_tail, F.lit("")),
         F.concat(F.lit("id-"), F.substring(F.sha2(canon_url, 256), 1, 16)),
     )
+
+
+def _nonempty(c: Column) -> Column:
+    return F.nullif(F.trim(F.coalesce(c, F.lit(""))), F.lit(""))
+
+
+def parse_dc_fields(
+    dct: dict[str, Column], fname: Column, safe_name: Column
+) -> dict[str, Column]:
+    """parseDC's DC -> MCF normalization as Column expressions (C13,
+    utils.py:688-769). ``dct`` maps DC keys (title, name, identifier,
+    description, abstract, modified, year, created, license, copyright,
+    url) to Columns; missing keys behave as '' (the reference's
+    25-key default-fill, utils.py:691-696). ``safe_name`` is
+    safe_filename(title) for the identifier fallback.
+
+    Returns flat named Columns (license split url-vs-name per
+    utils.py:748-752; distribution www row per utils.py:766-768;
+    hierarchylevel fixed 'dataset').
+    """
+    g = lambda k: _nonempty(dct.get(k, F.lit(None)))  # noqa: E731
+    title = F.coalesce(g("name"), g("title"), fname)
+    identifier = F.coalesce(g("identifier"), safe_name)
+    lic = g("license")
+    is_url = lic.startswith("http")
+    return {
+        "title": title,
+        "identifier": identifier,
+        # identifier that is a URL doubles as dataseturi (utils.py:710-711)
+        "dataseturi": F.when(identifier.startswith("http"), identifier),
+        "abstract": F.concat_ws(
+            " ",
+            *[
+                x
+                for x in [g("description"), g("abstract")]
+            ],
+        ),
+        "datestamp": F.coalesce(g("modified"), g("year")),
+        "creation": F.coalesce(g("created"), g("year")),
+        "rights": F.coalesce(g("copyright"), F.lit("")),
+        "license_url": F.when(is_url, lic),
+        "license_name": F.when(~F.coalesce(is_url, F.lit(False)), lic),
+        "hierarchylevel": F.lit("dataset"),
+        "dist_url": g("url"),
+        "dist_name": F.when(g("url").isNotNull(), fname),
+        "dist_type": F.when(g("url").isNotNull(), F.lit("www")),
+    }
 
 
 def merge_field(new: Column, old: Column) -> Column:

@@ -1,0 +1,119 @@
+"""ISO19139 depth + CSW unwrap (C16) and DC->MCF normalization (C13),
+mirroring the reference's importer behavior (reference
+tests/test_metadata.py:17-52 pins CSW GetRecordByIdResponse unwrap;
+schemas/iso19139/__init__.py:71-161 is the nested field mapping)."""
+
+from __future__ import annotations
+
+from pygeodatacrawler_spark.functions.metadata import sniff_metadata_py
+
+_ISO_NESTED = b"""<csw:GetRecordByIdResponse xmlns:csw="http://www.opengis.net/cat/csw/2.0.2">
+<gmd:MD_Metadata xmlns:gmd="http://www.isotc211.org/2005/gmd" xmlns:gco="http://www.isotc211.org/2005/gco">
+<gmd:fileIdentifier><gco:CharacterString>abc-123</gco:CharacterString></gmd:fileIdentifier>
+<gmd:hierarchyLevel><gmd:MD_ScopeCode codeListValue="series">series</gmd:MD_ScopeCode></gmd:hierarchyLevel>
+<gmd:dateStamp><gco:DateTime>2020-01-02T03:04:05</gco:DateTime></gmd:dateStamp>
+<gmd:identificationInfo><gmd:MD_DataIdentification>
+<gmd:citation><gmd:CI_Citation><gmd:title><gco:CharacterString>My Title</gco:CharacterString></gmd:title></gmd:CI_Citation></gmd:citation>
+<gmd:abstract><gco:CharacterString>An abstract.</gco:CharacterString></gmd:abstract>
+<gmd:descriptiveKeywords><gmd:MD_Keywords>
+<gmd:keyword><gco:CharacterString>soil</gco:CharacterString></gmd:keyword>
+<gmd:keyword><gco:CharacterString>water</gco:CharacterString></gmd:keyword>
+</gmd:MD_Keywords></gmd:descriptiveKeywords>
+<gmd:extent><gmd:EX_Extent><gmd:geographicElement><gmd:EX_GeographicBoundingBox>
+<gmd:westBoundLongitude><gco:Decimal>-5.5</gco:Decimal></gmd:westBoundLongitude>
+<gmd:eastBoundLongitude><gco:Decimal>9.5</gco:Decimal></gmd:eastBoundLongitude>
+<gmd:southBoundLatitude><gco:Decimal>41.0</gco:Decimal></gmd:southBoundLatitude>
+<gmd:northBoundLatitude><gco:Decimal>51.5</gco:Decimal></gmd:northBoundLatitude>
+</gmd:EX_GeographicBoundingBox></gmd:geographicElement></gmd:EX_Extent></gmd:extent>
+</gmd:MD_DataIdentification></gmd:identificationInfo>
+</gmd:MD_Metadata></csw:GetRecordByIdResponse>"""
+
+
+def test_csw_wrapped_iso_unwraps_nested_fields():
+    r = sniff_metadata_py(_ISO_NESTED)
+    assert r == {
+        "kind": "iso19139",
+        "identifier": "abc-123",
+        "title": "My Title",
+        "abstract": "An abstract.",
+        "keywords": ["soil", "water"],
+        "datestamp": "2020-01-02T03:04:05",
+        "hierarchylevel": "series",
+        "bbox": [-5.5, 41.0, 9.5, 51.5],
+    }
+
+
+def test_plain_island_still_parses():
+    legacy = (
+        b"<html><MD_Metadata><fileIdentifier>x1</fileIdentifier>"
+        b"<title>T</title><abstract>A</abstract><keyword>k1</keyword>"
+        b"<date>2021-01-01</date></MD_Metadata></html>"
+    )
+    r = sniff_metadata_py(legacy)
+    assert r["kind"] == "iso19139"
+    assert r["identifier"] == "x1"
+    assert r["keywords"] == ["k1"]
+    assert r["datestamp"] == "2021-01-01"
+    assert r["hierarchylevel"] == "dataset"  # owslib/parseDC default
+    assert r["bbox"] == []
+
+
+def test_keyword_tag_does_not_swallow_keywords_container():
+    # 'keyword' must not match the <MD_Keywords>/<keywords> container
+    doc = (
+        b"<MD_Metadata><keywords><keyword>a</keyword>"
+        b"<keyword>b</keyword></keywords></MD_Metadata>"
+    )
+    assert sniff_metadata_py(doc)["keywords"] == ["a", "b"]
+
+
+def test_partial_bbox_is_dropped():
+    doc = (
+        b"<MD_Metadata><title>t</title>"
+        b"<westBoundLongitude><gco:Decimal>1.0</gco:Decimal></westBoundLongitude>"
+        b"</MD_Metadata>"
+    )
+    assert sniff_metadata_py(doc)["bbox"] == []
+
+
+def test_geo_and_mapfile_columns(spark):
+    import pyspark.sql.functions as F
+
+    from pygeodatacrawler_spark.functions.geo import crs2code, reproject_bounds
+    from pygeodatacrawler_spark.functions.mapfile import hexcolor
+
+    df = spark.createDataFrame(
+        [
+            ("EPSG:4326",),
+            ("urn:ogc:def:crs:EPSG::28992",),
+            ('GEOGCS["WGS 84",AUTHORITY["EPSG","4326"]]',),
+            # root authority = LAST node, like OSR GetAuthorityCode(None)
+            (
+                'PROJCS["RD",GEOGCS["Amersfoort",AUTHORITY["EPSG","4289"]],'
+                'AUTHORITY["EPSG","28992"]]',
+            ),
+            ("http://www.opengis.net/def/crs/EPSG/0/3857",),
+            ("not a crs",),
+            (None,),
+        ],
+        "crs string",
+    )
+    got = [r.code for r in df.select(crs2code(F.col("crs")).alias("code")).collect()]
+    assert got == [
+        "EPSG:4326", "EPSG:28992", "EPSG:4326", "EPSG:28992", "EPSG:3857",
+        "", "",
+    ]
+
+    pt = spark.range(1).select(
+        reproject_bounds(
+            F.lit(0.0), F.lit(0.0), F.lit(180.0), F.lit(85.051128779806604)
+        ).alias("b")
+    ).collect()[0]["b"]
+    assert abs(pt[0]) < 1e-6 and abs(pt[1]) < 1e-6
+    assert abs(pt[2] - 20037508.342789244) < 1e-3
+    assert abs(pt[3] - 20037508.342789244) < 1.0  # web-mercator square corner
+
+    hx = spark.createDataFrame(
+        [("255 128 0",), ("#AABBCC",), ("",), (None,)], "c string"
+    ).select(hexcolor(F.col("c")).alias("h")).collect()
+    assert [r.h for r in hx] == ["#ff8000", "#AABBCC", "#CCCCCC", "#CCCCCC"]

@@ -33,7 +33,11 @@ N_HOSTS = 60
 HOST_BUDGET = 50_000
 
 
-CRAWL_PAGES = 200_000  # crawl corpus must stay cacheable (fetch stand-in)
+# crawl corpus must stay cacheable (fetch stand-in): 600k x ~20KB pages
+# ~= 12GB, inside the 32g crawl-job heap. Bigger corpus -> bigger BFS
+# rounds (~45k URLs), so the per-round fixed commit cost amortizes the
+# way a production 10M-page round would.
+CRAWL_PAGES = 600_000
 
 
 def prepare_corpus(n_pages: int, data_dir: str) -> None:
@@ -167,7 +171,9 @@ def run_batch(cpus: int, data_dir: str) -> dict:
 
     walls = []
     n_dedup = 0
-    for _ in range(3):
+    # best of 2: at multi-minute run lengths the run-to-run variance is
+    # far below the warm-up effect the first (warm) pass already absorbs
+    for _ in range(2):
         w, n_dedup = one_run()
         walls.append(w)
     batch_wall = min(walls)
