@@ -17,6 +17,7 @@ machine, no wall clock, no external data.
 from __future__ import annotations
 
 import random
+import re
 from datetime import datetime, timedelta
 
 import pandas as pd
@@ -287,6 +288,65 @@ def generate_pages_distributed(
         ),
     )
     return pages, seeds, robots
+
+
+_URL_J = re.compile(r"host-(\d+)\.org/(?:sub/)?(?:tmp-)?page-(\d+)\.html$")
+
+
+def make_fetch_fn(
+    n_pages: int,
+    n_hosts: int,
+    seed: int = 42,
+    words_min: int = 150,
+    words_max: int = 400,
+):
+    """Per-URL fetch stand-in: a mapInPandas body (url) -> (url, html)
+    that REGENERATES the page from the URL alone.
+
+    Every fixture page is a pure function of (host index, page index),
+    both of which the URL encodes — so fetching is per-URL compute
+    (synthesize + parse), exactly the cost shape of a real HTTP fetch,
+    with NO page-store scan. The join-against-store fetch costs
+    O(corpus) per round (the whole store streams past the probe), which
+    is an artifact of the stand-in, not of the crawl design; this
+    variant keeps the round cost O(batch) like production. Bytes are
+    identical to the stored corpus (asserted by test), so parity,
+    determinism and resume behave identically in both modes.
+    """
+    hosts = [f"www.host-{i:03d}.org" for i in range(n_hosts)]
+    heavy = max(1, int(n_pages * 0.3))
+    rest = (n_pages - heavy) // max(1, n_hosts - 1)
+    host_sizes = [heavy] + [rest] * (n_hosts - 1)
+    offsets = []
+    acc = 0
+    for s in host_sizes:
+        offsets.append(acc)
+        acc += s
+
+    def _fetch(pdf_iter):
+        import pandas as pd  # noqa: PLC0415 (executor-side import)
+
+        for pdf in pdf_iter:
+            out_urls, out_html = [], []
+            for url in pdf["url"]:
+                m = _URL_J.search(url)
+                if not m:
+                    continue  # 404 analog: no such page
+                hi, j = int(m.group(1)), int(m.group(2))
+                if hi >= n_hosts or j >= host_sizes[hi]:
+                    continue
+                if _page_url(hosts[hi], j) != url:
+                    continue  # e.g. tmp-page name for a plain-page index
+                gid = offsets[hi] + j
+                rng = random.Random((seed << 20) ^ gid)
+                row = _page_row(
+                    hi, j, hosts, host_sizes, rng, words_min, words_max
+                )
+                out_urls.append(url)
+                out_html.append(row["html"])
+            yield pd.DataFrame({"url": out_urls, "html": out_html})
+
+    return _fetch
 
 
 def load_pages(

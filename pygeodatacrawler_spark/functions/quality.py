@@ -33,23 +33,41 @@ def token_count(text: Column) -> Column:
     return F.size(tokens(text))
 
 
-def stopword_count(text: Column, lang: str) -> Column:
+def stopword_count_from_tokens(toks: Column, lang: str) -> Column:
     words = STOPWORDS[lang]
-    return F.size(F.filter(tokens(text), lambda x: F.lower(x).isin(words)))
+    return F.size(F.filter(toks, lambda x: F.lower(x).isin(words)))
+
+
+def stopword_count(text: Column, lang: str) -> Column:
+    return stopword_count_from_tokens(tokens(text), lang)
 
 
 def lang_id(text: Column) -> Column:
-    """Argmax of per-language stopword hit counts, tie-break en>es>de>fr."""
-    en = stopword_count(text, "en")
-    es = stopword_count(text, "es")
-    de = stopword_count(text, "de")
-    fr = stopword_count(text, "fr")
-    return (
-        F.when((en >= es) & (en >= de) & (en >= fr), F.lit("en"))
-        .when((es >= de) & (es >= fr), F.lit("es"))
-        .when(de >= fr, F.lit("de"))
-        .otherwise(F.lit("fr"))
-    )
+    """Argmax of per-language stopword hit counts, tie-break en>es>de>fr.
+
+    Tokenizes ONCE for all four languages (the split is the expensive
+    part; counting hits against a ~20-word broadcast list is cheap).
+    """
+    return lang_id_from_tokens(tokens(text))
+
+
+def lang_id_from_tokens(toks: Column) -> Column:
+    # bind the token array to a single evaluation so the 4 per-language
+    # counts share one split (transform's lambda variable is evaluated
+    # once per row, unlike repeating the split expression 4x)
+    def _pick(t: Column) -> Column:
+        en = stopword_count_from_tokens(t, "en")
+        es = stopword_count_from_tokens(t, "es")
+        de = stopword_count_from_tokens(t, "de")
+        fr = stopword_count_from_tokens(t, "fr")
+        return (
+            F.when((en >= es) & (en >= de) & (en >= fr), F.lit("en"))
+            .when((es >= de) & (es >= fr), F.lit("es"))
+            .when(de >= fr, F.lit("de"))
+            .otherwise(F.lit("fr"))
+        )
+
+    return F.element_at(F.transform(F.array(toks), _pick), 1)
 
 
 def punct_ratio(text: Column) -> Column:
@@ -71,14 +89,24 @@ def quality_score(text: Column) -> Column:
 
     Mirrors the shape of published web-text quality filters (length &
     symbol ratios a la C4/Gopher rules) without any model dependency.
+    Like ``lang_id``, the token array is bound once via a transform
+    lambda so the stopword-ratio term does not re-split the text.
     """
-    length_term = F.least(F.lit(1.0), F.length(text) / F.lit(500.0))
-    return F.round(
-        F.lit(0.3) * length_term
-        + F.lit(0.4) * F.least(F.lit(1.0), F.lit(4.0) * stopword_ratio(text))
-        + F.lit(0.3) * (F.lit(1.0) - F.least(F.lit(1.0), F.lit(4.0) * punct_ratio(text))),
-        4,
-    )
+
+    def _score(t: Column) -> Column:
+        nt = F.size(t)
+        sw = stopword_count_from_tokens(t, "en")
+        swr = F.when(nt == 0, F.lit(0.0)).otherwise(sw / nt.cast("double"))
+        length_term = F.least(F.lit(1.0), F.length(text) / F.lit(500.0))
+        return F.round(
+            F.lit(0.3) * length_term
+            + F.lit(0.4) * F.least(F.lit(1.0), F.lit(4.0) * swr)
+            + F.lit(0.3)
+            * (F.lit(1.0) - F.least(F.lit(1.0), F.lit(4.0) * punct_ratio(text))),
+            4,
+        )
+
+    return F.element_at(F.transform(F.array(tokens(text)), _score), 1)
 
 
 def ngrams_from_tokens(toks: Column, n: int) -> Column:

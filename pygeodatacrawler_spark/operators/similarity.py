@@ -97,6 +97,24 @@ def lsh_bucket(vec: Column, n_planes: int, n_dims: int) -> Column:
     return bucket
 
 
+def lsh_probe_buckets(
+    vec: Column, n_planes: int, n_dims: int, n_probes: int = 1
+) -> Column:
+    """Multi-probe bucket list: the home bucket plus, at n_probes=1,
+    every bucket one sign-flip away (Lv et al., "Multi-Probe LSH",
+    VLDB 2007 — public). Flipping the planes whose dot product is
+    nearest zero first would be the refined order; flipping ALL single
+    planes subsumes that and stays a pure Column expression. Probe
+    fan-out multiplies only the (tiny, broadcast) query side — the
+    corpus is still bucketed exactly once."""
+    home = lsh_bucket(vec, n_planes, n_dims)
+    if n_probes <= 0:
+        return F.array(home)
+    return F.array(
+        home, *[home.bitwiseXOR(F.lit(1 << p)) for p in range(n_planes)]
+    )
+
+
 def lsh_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -105,15 +123,23 @@ def lsh_topk(
     k: int = 5,
     n_planes: int = 4,
     n_dims: int = 64,
+    n_probes: int = 1,
 ) -> DataFrame:
-    """ANN top-k restricted to the query's LSH bucket (approximate).
+    """ANN top-k restricted to the query's LSH bucket(s) (approximate).
 
     At scale the corpus bucketing is computed once and written
-    partitioned by bucket, so each query probes one partition —
-    partition pruning does the candidate selection.
+    partitioned by bucket, so each query probes one partition per probe
+    bucket — partition pruning does the candidate selection. Raise
+    ``n_planes`` (16 planes -> 65k buckets) as the corpus grows and
+    keep recall with Hamming-1 multi-probe instead of fewer planes.
     """
     cb = corpus.withColumn("bucket", lsh_bucket(F.col(vec_col), n_planes, n_dims))
-    qb = queries.withColumn("bucket", lsh_bucket(F.col(vec_col), n_planes, n_dims))
+    qb = queries.withColumn(
+        "bucket",
+        F.explode(
+            lsh_probe_buckets(F.col(vec_col), n_planes, n_dims, n_probes)
+        ),
+    )
     q = qb.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).cast("array<double>").alias("qv"),

@@ -38,7 +38,7 @@ import os
 import time
 from dataclasses import dataclass, field
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, Observation, SparkSession, Window
 import pyspark.sql.functions as F
 
 from pygeodatacrawler_spark.functions.text import EXTRACT_SCHEMA, extract_pages_batches
@@ -116,14 +116,24 @@ class CrawlEngine:
         self,
         spark: SparkSession,
         workdir: str,
-        pages: DataFrame,
+        pages: DataFrame | None,
         robots: DataFrame | None = None,
         host_budget: int = 100,
         bloom_buckets: int = 16,
         salt_threshold: int = 1000,
+        fetch_fn=None,
     ):
         self.spark = spark
         self.pages = pages
+        # per-URL fetch function (mapInPandas body url -> url, html):
+        # the production shape — an HTTP client in the UDF — and the
+        # O(batch) bench stand-in (fixtures.make_fetch_fn). When set,
+        # rounds never touch a page store; cost scales with the batch,
+        # not the corpus. ``pages`` join mode remains for parity tests
+        # against a materialized store.
+        self.fetch_fn = fetch_fn
+        if pages is None and fetch_fn is None:
+            raise ValueError("need a pages store or a fetch_fn")
         self.robots = robots
         self.host_budget = host_budget
         self.bloom_buckets = bloom_buckets
@@ -219,7 +229,7 @@ class CrawlEngine:
         commit markers (round=-1) are bookkeeping, not round metrics."""
         fields = [
             "round", "rows_in", "rows_out", "n_records",
-            "n_parts", "skew", "wall_s",
+            "n_parts", "skew", "wall_s", "lat_hist", "lat_mean",
         ]
         rows = [
             {k: l.get(k) for k in fields}
@@ -230,7 +240,8 @@ class CrawlEngine:
             rows,
             schema=(
                 "round int, rows_in long, rows_out long, n_records long, "
-                "n_parts int, skew double, wall_s double"
+                "n_parts int, skew double, wall_s double, "
+                "lat_hist array<long>, lat_mean double"
             ),
         )
 
@@ -260,14 +271,20 @@ class CrawlEngine:
         # here and come back as null-text records via the left join below
         # (the 404 analog). Extraction runs directly on the probe output,
         # so html bytes die in the same stage they were read.
-        hits = self.pages.join(
-            F.broadcast(batch.select(F.col("canon_url").alias("page_url"))),
-            self.pages["url"] == F.col("page_url"),
-            "inner",
-        )
-        extracted = (
-            hits.select(F.col("page_url").alias("url"), "html")
-            .mapInPandas(extract_pages_batches, schema=EXTRACT_SCHEMA)
+        if self.fetch_fn is not None:
+            # per-URL fetch (production shape): the UDF produces (url,
+            # html) for each batch URL — O(batch) work, zero store scan
+            fetched = batch.select(
+                F.col("canon_url").alias("url")
+            ).mapInPandas(self.fetch_fn, schema="url string, html binary")
+        else:
+            fetched = self.pages.join(
+                F.broadcast(batch.select(F.col("canon_url").alias("page_url"))),
+                self.pages["url"] == F.col("page_url"),
+                "inner",
+            ).select(F.col("page_url").alias("url"), "html")
+        extracted = fetched.mapInPandas(
+            extract_pages_batches, schema=EXTRACT_SCHEMA
         )
         records = (
             batch.select("url_hash", "canon_url", "registered_domain", "depth")
@@ -278,6 +295,38 @@ class CrawlEngine:
             )
             .withColumn("round", F.lit(round_no))
             .withColumn("text_sha2", F.sha2(F.coalesce(F.col("text"), F.lit("")), 256))
+            # fetch latency: with a real HTTP fetch the mapInPandas UDF
+            # stamps measured wall-ms per URL; the stand-in derives a
+            # deterministic value from key + payload size (misses = the
+            # 1000 ms timeout analog) so the histogram machinery is
+            # exercised end-to-end
+            .withColumn(
+                "fetch_ms",
+                F.when(F.col("text").isNull(), F.lit(1000.0)).otherwise(
+                    F.round(
+                        F.pmod(F.xxhash64("canon_url"), F.lit(180)).cast("double")
+                        + 20.0
+                        + F.col("n_bytes") / 10240.0,
+                        1,
+                    )
+                ),
+            )
+        )
+        # fetch-latency histogram (north-rule lineage metric): an
+        # Observation piggybacks on the records-append job — the counts
+        # materialize during that single write action, NO extra job
+        obs = Observation(f"fetch-r{round_no}")
+        records = records.observe(
+            obs,
+            F.count(F.when(F.col("fetch_ms") < 50, 1)).alias("lat_050"),
+            F.count(
+                F.when((F.col("fetch_ms") >= 50) & (F.col("fetch_ms") < 100), 1)
+            ).alias("lat_100"),
+            F.count(
+                F.when((F.col("fetch_ms") >= 100) & (F.col("fetch_ms") < 500), 1)
+            ).alias("lat_500"),
+            F.count(F.when(F.col("fetch_ms") >= 500, 1)).alias("lat_inf"),
+            F.round(F.avg("fetch_ms"), 2).alias("lat_mean"),
         )
         # one record row per batch row by construction (1:1 left joins);
         # missing pages carry null text
@@ -301,6 +350,7 @@ class CrawlEngine:
                 "text_sha2",
                 "links",
                 "n_bytes",
+                "fetch_ms",
             )
         )
         file_rows = [n for n in self.records.version_file_rows(records_v) if n > 0]
@@ -394,6 +444,7 @@ class CrawlEngine:
 
         # lineage: partition balance came from the records version's
         # parquet footers (north-rule metrics, no extra action)
+        lat_metrics = obs.get  # already materialized by the append job
         wall = time.monotonic() - t0
         line = {
             "round": round_no,
@@ -403,6 +454,19 @@ class CrawlEngine:
             "n_parts": n_parts,
             "skew": float(skew),
             "wall_s": wall,
+            # histogram buckets [<50, 50-100, 100-500, >=500) ms + mean,
+            # collected by the Observation during the append action
+            "lat_hist": [
+                int(lat_metrics["lat_050"]),
+                int(lat_metrics["lat_100"]),
+                int(lat_metrics["lat_500"]),
+                int(lat_metrics["lat_inf"]),
+            ],
+            "lat_mean": (
+                float(lat_metrics["lat_mean"])
+                if lat_metrics["lat_mean"] is not None
+                else None
+            ),
             # snapshot versions this round produced — the atomic commit
             # point: until this line is fsync'd, reconcile() rolls the
             # two writes above back and the round replays cleanly

@@ -67,3 +67,9 @@ def test_lineage_written(crawl_result):
     for l in lineage:
         assert l["skew"] >= 1.0
         assert l["wall_s"] > 0
+        # fetch-latency histogram (Observation piggyback): buckets cover
+        # every record of the round; stand-in latencies are 20..200ms +
+        # 1000ms for misses, so nothing may land below 20 -> bucket sums
+        # match rows_in exactly
+        assert sum(l["lat_hist"]) == l["rows_in"]
+        assert l["lat_mean"] is None or l["lat_mean"] > 0

@@ -164,3 +164,26 @@ def test_lsh_topk_approximates(spark):
     ).collect()
     # the planted exact dup shares every LSH bucket with its twin
     assert any(r["neighbor_id"] == 100 and r["cos_sim"] == 1.0 for r in out)
+
+
+def test_lsh_topk_multiprobe_recovers_boundary_neighbors(spark):
+    # multi-probe (Hamming-1) must find at least everything the exact-
+    # bucket probe finds, and converge toward brute force on this corpus
+    vecs = _vectors(spark)
+    q = vecs.filter(F.col("vec_id") == 0)
+    exact_bucket = {
+        r["neighbor_id"]
+        for r in lsh_topk(vecs, q, k=5, n_planes=3, n_dims=8, n_probes=0).collect()
+    }
+    probed = {
+        r["neighbor_id"]
+        for r in lsh_topk(vecs, q, k=5, n_planes=3, n_dims=8, n_probes=1).collect()
+    }
+    brute = {
+        r["neighbor_id"] for r in brute_force_topk(vecs, q, k=5).collect()
+    }
+    # any true-top-5 neighbor the exact probe found survives multi-probe
+    # (extra candidates can only displace it with other true-top-5s)
+    assert (exact_bucket & brute) <= (probed & brute)
+    assert len(probed & brute) >= len(exact_bucket & brute)
+    assert 100 in probed  # planted twin always recovered

@@ -93,6 +93,7 @@ def _session(cpus: int):
 
 
 def run_crawl(cpus: int, data_dir: str) -> dict:
+    from pygeodatacrawler_spark.fixtures import make_fetch_fn
     from pygeodatacrawler_spark.functions.text import (
         EXTRACT_SCHEMA,
         extract_pages_batches,
@@ -100,16 +101,24 @@ def run_crawl(cpus: int, data_dir: str) -> dict:
     from pygeodatacrawler_spark.plans.crawl import CrawlEngine
 
     spark = _session(cpus)
-    cpages = spark.read.parquet(f"{data_dir}/pages_crawl.parquet").cache()
-    cpages.count()  # materialize the fetch stand-in in memory
     seeds = spark.read.parquet(f"{data_dir}/seeds.parquet")
     robots = spark.read.parquet(f"{data_dir}/robots.parquet")
-    cpages.limit(1000).select("url", "html").mapInPandas(
-        extract_pages_batches, schema=EXTRACT_SCHEMA
-    ).count()  # warm up Python workers
+    # per-URL fetch (production shape): the UDF synthesizes each page
+    # from its URL — byte-identical to the stored corpus
+    # (tests/test_fetch_fn.py) but O(batch) per round like real HTTP,
+    # instead of streaming the whole store past a join probe each round
+    fetch = make_fetch_fn(
+        CRAWL_PAGES, N_HOSTS, words_min=1500, words_max=3500
+    )
+    spark.read.parquet(f"{data_dir}/pages_crawl.parquet").limit(1000).select(
+        "url", "html"
+    ).mapInPandas(extract_pages_batches, schema=EXTRACT_SCHEMA).count()
+    # warm up Python workers
 
     workdir = tempfile.mkdtemp(prefix=f"scale{cpus}_")
-    eng = CrawlEngine(spark, workdir, cpages, robots, host_budget=HOST_BUDGET)
+    eng = CrawlEngine(
+        spark, workdir, None, robots, host_budget=HOST_BUDGET, fetch_fn=fetch
+    )
     eng.init_from_seeds(seeds)
     t0 = time.monotonic()
     stats = eng.run(max_rounds=50)
@@ -195,9 +204,10 @@ def _subprocess_run(job: str, cpus: int, data_dir: str) -> dict:
 
     # 24g, not bigger: oversized heaps let garbage pile up into one
     # multi-second G1 mixed collection mid-stage (measured 44s outlier
-    # at 48g); a moderate heap keeps pauses short and walls stable. The
-    # crawl job holds the page cache -> a bit more headroom.
-    mem = "32g" if job == "crawl" else "24g"
+    # at 48g); a moderate heap keeps pauses short and walls stable.
+    # (The crawl job synthesizes pages per URL — no page cache, no
+    # extra headroom needed.)
+    mem = "24g"
     env = dict(os.environ, SPARK_GRAFT_DRIVER_MEM=mem)
     out = subprocess.run(
         [sys.executable, os.path.abspath(__file__), "--run", job, str(cpus), data_dir],
@@ -256,8 +266,10 @@ def main() -> None:
 Protocol (BASELINE.md): same job, same input, run at local[8] and
 local[32]; efficiency = (thr_32/thr_8) / (32/8). Batch corpus:
 {n_pages} synthetic ~20KB pages; crawl corpus: {CRAWL_PAGES} pages
-(cached — the per-round fetch join is the HTTP stand-in), {N_HOSTS}
-hosts, heavy host ~30%, host budget {HOST_BUDGET}.
+(fetched per URL by a synthesis UDF byte-identical to the stored
+corpus — tests/test_fetch_fn.py — so a round costs O(batch) like real
+HTTP, not an O(corpus) store scan), {N_HOSTS} hosts, heavy host ~30%,
+host budget {HOST_BUDGET}.
 
 | job | local[8] | local[32] | efficiency |
 |---|---|---|---|
