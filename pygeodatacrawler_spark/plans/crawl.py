@@ -272,28 +272,74 @@ class CrawlEngine:
         # (the 404 analog). Extraction runs directly on the probe output,
         # so html bytes die in the same stage they were read.
         if self.fetch_fn is not None:
-            # per-URL fetch (production shape): the UDF produces (url,
-            # html) for each batch URL — O(batch) work, zero store scan
-            fetched = batch.select(
-                F.col("canon_url").alias("url")
-            ).mapInPandas(self.fetch_fn, schema="url string, html binary")
+            # per-URL fetch (production shape), FUSED with extraction in
+            # one map-only UDF over the batch: fetch -> extract -> record
+            # row, html dying inside the task. Batch identity columns
+            # pass through, so there is NO join at all — a join here
+            # would tempt Catalyst to broadcast the multi-GB extracted
+            # side (unknown stats after mapInPandas) through the driver.
+            fetch_fn = self.fetch_fn
+
+            def _fetch_extract(pdf_iter):
+                import pandas as pd  # noqa: PLC0415 (executor-side)
+
+                for pdf in pdf_iter:
+                    fetched = pd.concat(
+                        list(
+                            fetch_fn(
+                                iter([pdf[["canon_url"]].rename(columns={"canon_url": "url"})])
+                            )
+                        ),
+                        ignore_index=True,
+                    )
+                    ext = pd.concat(
+                        list(extract_pages_batches(iter([fetched]))),
+                        ignore_index=True,
+                    ).set_index("url")
+                    out = pdf[
+                        ["url_hash", "canon_url", "registered_domain", "depth"]
+                    ].reset_index(drop=True)
+                    aligned = ext.reindex(out["canon_url"])
+                    # 404 rows: NaN -> None so Arrow writes proper nulls
+                    out["text"] = [
+                        t if isinstance(t, str) else None
+                        for t in aligned["text"]
+                    ]
+                    out["links"] = [
+                        l if isinstance(l, list) else None
+                        for l in aligned["links"]
+                    ]
+                    out["n_bytes"] = aligned["n_bytes"].astype("Int64").values
+                    yield out
+
+            records = batch.select(
+                "url_hash", "canon_url", "registered_domain", "depth"
+            ).mapInPandas(
+                _fetch_extract,
+                schema=(
+                    "url_hash long, canon_url string, registered_domain "
+                    "string, depth int, text string, links array<string>, "
+                    "n_bytes long"
+                ),
+            )
         else:
-            fetched = self.pages.join(
+            hits = self.pages.join(
                 F.broadcast(batch.select(F.col("canon_url").alias("page_url"))),
                 self.pages["url"] == F.col("page_url"),
                 "inner",
             ).select(F.col("page_url").alias("url"), "html")
-        extracted = fetched.mapInPandas(
-            extract_pages_batches, schema=EXTRACT_SCHEMA
-        )
-        records = (
-            batch.select("url_hash", "canon_url", "registered_domain", "depth")
-            .join(
+            extracted = hits.mapInPandas(
+                extract_pages_batches, schema=EXTRACT_SCHEMA
+            )
+            records = batch.select(
+                "url_hash", "canon_url", "registered_domain", "depth"
+            ).join(
                 extracted.withColumnRenamed("url", "canon_url"),
                 "canon_url",
                 "left",
             )
-            .withColumn("round", F.lit(round_no))
+        records = (
+            records.withColumn("round", F.lit(round_no))
             .withColumn("text_sha2", F.sha2(F.coalesce(F.col("text"), F.lit("")), 256))
             # fetch latency: with a real HTTP fetch the mapInPandas UDF
             # stamps measured wall-ms per URL; the stand-in derives a
