@@ -1580,6 +1580,32 @@ from fwd
 """
 
 
+def q_token_stats(spark, sf_dir):
+    # token counting both ways (LLM-pipeline op): whitespace split and
+    # the GPT2-shaped BPE pretokenizer regex — all JVM-side regexp
+    from pygeodatacrawler_spark.functions.quality import bpe_token_count
+
+    d = _table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        token_count(F.col("text")).alias("ws_tokens"),
+        bpe_token_count(F.col("text")).alias("bpe_tokens"),
+    )
+
+
+def _sql_token_stats() -> str:
+    from pygeodatacrawler_spark.functions.quality import BPE_RE
+
+    pat = BPE_RE.replace("'", "''")
+    return f"""
+select doc_id,
+  len({SQL_TOKS}) as ws_tokens,
+  len(list_filter(regexp_extract_all(text, '({pat})', 1),
+                  x -> not regexp_matches(x, '^\\s+$'))) as bpe_tokens
+from documents
+"""
+
+
 def q_dc_normalize(spark, sf_dir):
     # C13 parseDC full normalization (utils.py:688-769): 25-key
     # default-fill, name->title->fname cascade, identifier-as-dataseturi,
@@ -1723,6 +1749,7 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crs_codes": q_crs_codes,
         "reproject_bounds": q_reproject_bounds,
         "dc_normalize": q_dc_normalize,
+        "token_stats": q_token_stats,
         "approx_distinct": q_approx_distinct,
     }
 
@@ -1776,6 +1803,7 @@ def all_oracle_sql() -> dict[str, str]:
         "crs_codes": SQL_CRS_CODES,
         "reproject_bounds": SQL_REPROJECT,
         "dc_normalize": SQL_DC_NORMALIZE,
+        "token_stats": _sql_token_stats(),
         # approx_distinct: intentionally no oracle (HLL is
         # algorithm-specific); the driver records a rows-only check
     }

@@ -70,6 +70,23 @@ def lang_id_from_tokens(toks: Column) -> Column:
     return F.element_at(F.transform(F.array(toks), _pick), 1)
 
 
+# GPT2-shaped pretokenizer, restricted to the syntax BOTH engines'
+# regex dialects share (Java util.regex for Spark codegen, RE2 for the
+# DuckDB oracle — RE2 has no lookahead, so the \s+(?!\S) tail rule is
+# folded into plain \s+; on space-separated corpora the counts agree
+# with the full pattern). Groups: contractions, ' ?'-prefixed letter
+# runs, digit runs, punctuation runs, whitespace runs.
+BPE_RE = r"'(?:[sdmt]|ll|ve|re)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s']+|\s+"
+
+
+def bpe_token_count(text: Column) -> Column:
+    """BPE-ish token count: matches of the GPT2-style pretokenizer
+    regex, minus pure-whitespace matches (whitespace merges into the
+    following token in real BPE; counting it would double-count)."""
+    toks = F.regexp_extract_all(text, F.lit(f"({BPE_RE})"), 1)
+    return F.size(F.filter(toks, lambda t: ~t.rlike(r"^\s+$")))
+
+
 def punct_ratio(text: Column) -> Column:
     n = F.length(text)
     return F.when(n == 0, F.lit(0.0)).otherwise(
