@@ -38,6 +38,15 @@ def main(argv: list[str] | None = None) -> int:
     c.add_argument("--host-budget", type=int, default=100)
     c.add_argument("--max-rounds", type=int, default=100)
     c.add_argument("--fixture-pages", type=int, default=2000)
+    c.add_argument(
+        "--fetch",
+        choices=["store", "synth"],
+        default="store",
+        help="store: probe the pages table per round; synth: per-URL "
+        "fetch UDF regenerating fixture pages from the URL (production "
+        "shape — O(batch) rounds, no page store)",
+    )
+    c.add_argument("--fixture-hosts", type=int, default=20)
     _add_common(c)
 
     h = sub.add_parser("harvest", help="metadata harvest pass")
@@ -67,14 +76,37 @@ def main(argv: list[str] | None = None) -> int:
             from pygeodatacrawler_spark.fixtures import load_pages
             from pygeodatacrawler_spark.plans.crawl import CrawlEngine
 
-            if args.pages:
+            fetch_fn = None
+            if args.fetch == "synth":
+                from pygeodatacrawler_spark.fixtures import (
+                    generate_pages_distributed,
+                    make_fetch_fn,
+                )
+
+                _, seeds, robots = generate_pages_distributed(
+                    spark,
+                    n_pages=args.fixture_pages,
+                    n_hosts=args.fixture_hosts,
+                )
+                if args.seeds:
+                    seeds = spark.read.parquet(args.seeds)
+                if args.robots:
+                    robots = spark.read.parquet(args.robots)
+                pages = None
+                fetch_fn = make_fetch_fn(args.fixture_pages, args.fixture_hosts)
+            elif args.pages:
                 pages = spark.read.parquet(args.pages)
                 seeds = spark.read.parquet(args.seeds) if args.seeds else None
                 robots = spark.read.parquet(args.robots) if args.robots else None
             else:
                 pages, seeds, robots = load_pages(spark, n_pages=args.fixture_pages)
             eng = CrawlEngine(
-                spark, args.workdir, pages, robots, host_budget=args.host_budget
+                spark,
+                args.workdir,
+                pages,
+                robots,
+                host_budget=args.host_budget,
+                fetch_fn=fetch_fn,
             )
             if not eng.frontier.exists():
                 if seeds is None:

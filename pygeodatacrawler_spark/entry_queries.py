@@ -1580,6 +1580,52 @@ from fwd
 """
 
 
+def _seen_filter(spark, sf_dir, kind: str):
+    # F6/U1 composed seen-set path exactly as the crawl round runs it:
+    # approximate filter (no false negatives) prunes, exact anti-join
+    # verifies only the maybes; the union must equal a plain anti-join
+    # — which is the oracle. Probes via the scale-path cogroup (no
+    # driver collection).
+    d = _table(spark, sf_dir, "documents")
+    key = F.xxhash64(F.col("doc_id").cast("string")).alias("url_hash")
+    seen = d.filter(F.col("doc_id") % 3 == 0).select(key)
+    cand = d.filter(F.col("doc_id") % 2 == 0).select("doc_id", key)
+    if kind == "cuckoo":
+        from pygeodatacrawler_spark.operators.cuckoo import (
+            build_cuckoo,
+            probe_cuckoo,
+        )
+
+        filt = build_cuckoo(seen, n_buckets=8)
+        probed = probe_cuckoo(cand, filt, n_buckets=8, via="cogroup")
+    else:
+        from pygeodatacrawler_spark.operators.seen import (
+            build_bloom,
+            probe_bloom,
+        )
+
+        filt = build_bloom(seen, n_buckets=8)
+        probed = probe_bloom(cand, filt, n_buckets=8, via="cogroup")
+    definite = probed.filter(~F.col("maybe_seen"))
+    confirmed = probed.filter(F.col("maybe_seen")).join(
+        seen, "url_hash", "left_anti"
+    )
+    return definite.unionByName(confirmed).select("doc_id")
+
+
+def q_seen_filter_cuckoo(spark, sf_dir):
+    return _seen_filter(spark, sf_dir, "cuckoo")
+
+
+def q_seen_filter_bloom(spark, sf_dir):
+    return _seen_filter(spark, sf_dir, "bloom")
+
+
+SQL_SEEN_FILTER = """
+select doc_id from documents where doc_id % 2 = 0 and doc_id % 3 <> 0
+"""
+
+
 def q_token_stats(spark, sf_dir):
     # token counting both ways (LLM-pipeline op): whitespace split and
     # the GPT2-shaped BPE pretokenizer regex — all JVM-side regexp
@@ -1750,6 +1796,8 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "reproject_bounds": q_reproject_bounds,
         "dc_normalize": q_dc_normalize,
         "token_stats": q_token_stats,
+        "seen_filter_bloom": q_seen_filter_bloom,
+        "seen_filter_cuckoo": q_seen_filter_cuckoo,
         "approx_distinct": q_approx_distinct,
     }
 
@@ -1804,6 +1852,8 @@ def all_oracle_sql() -> dict[str, str]:
         "reproject_bounds": SQL_REPROJECT,
         "dc_normalize": SQL_DC_NORMALIZE,
         "token_stats": _sql_token_stats(),
+        "seen_filter_bloom": SQL_SEEN_FILTER,
+        "seen_filter_cuckoo": SQL_SEEN_FILTER,
         # approx_distinct: intentionally no oracle (HLL is
         # algorithm-specific); the driver records a rows-only check
     }
