@@ -76,16 +76,22 @@ def build_bloom(
     n_buckets: int = 64,
     fpr: float = 0.01,
     expected_total: int | None = None,
+    geometry: tuple[int, int] | None = None,
 ) -> DataFrame:
     """hashes (one col of int64 keys) -> bloom bucket rows.
 
     One shuffle (groupBy bucket); each task builds one bitmap with numpy.
     ``expected_total`` sizes the bitmaps; defaults to a driver count()
-    (cheap: count of a single-column frame).
+    (cheap: count of a single-column frame). Pass an explicit
+    ``geometry`` (m_bits, k) to build a delta bloom mergeable into an
+    existing table (merge_blooms requires identical geometry).
     """
-    if expected_total is None:
-        expected_total = hashes.count()
-    m_bits, k = bloom_geometry(int(expected_total / n_buckets) + 1, fpr)
+    if geometry is not None:
+        m_bits, k = geometry
+    else:
+        if expected_total is None:
+            expected_total = hashes.count()
+        m_bits, k = bloom_geometry(int(expected_total / n_buckets) + 1, fpr)
 
     def _build(pdf_iter: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         acc: dict[int, np.ndarray] = {}

@@ -56,6 +56,7 @@ from pygeodatacrawler_spark.operators.seen import (
     BROADCAST_MAX_BITMAP_BYTES,
     bloom_geometry,
     build_bloom,
+    merge_blooms,
     probe_bloom,
 )
 from pygeodatacrawler_spark.tables import SnapshotTable
@@ -122,6 +123,7 @@ class CrawlEngine:
         bloom_buckets: int = 16,
         salt_threshold: int = 1000,
         fetch_fn=None,
+        bloom_min_frontier: int = 200_000,
     ):
         self.spark = spark
         self.pages = pages
@@ -166,7 +168,19 @@ class CrawlEngine:
         self._n_frontier: int | None = None
         # below this, the exact anti-join is cheaper than building and
         # shipping bloom bitmaps; above it, the bloom prunes the shuffle
-        self.bloom_min_frontier = 200_000
+        self.bloom_min_frontier = bloom_min_frontier
+        # incremental seen-bloom: rebuilt from the full frontier only
+        # when capacity is exceeded (amortized doubling); otherwise each
+        # round folds ONLY its frontier delta in with merge_blooms —
+        # O(batch) per round, never O(frontier). 10^10-scale argument:
+        # re-setting k bits per key for the whole frontier each round is
+        # an O(N·k)/round scan; the incremental fold touches only the
+        # round's new keys plus B bucket rows.
+        self._bloom: DataFrame | None = None
+        self._bloom_prev: DataFrame | None = None
+        self._bloom_geom: tuple[int, int] | None = None
+        self._bloom_capacity = 0
+        self._bloom_pending_delta: int | None = None
 
     # -- bootstrap ---------------------------------------------------------
     def init_from_seeds(self, seeds: DataFrame) -> None:
@@ -244,6 +258,54 @@ class CrawlEngine:
                 "lat_hist array<long>, lat_mean double"
             ),
         )
+
+    def _current_bloom(self, frontier: DataFrame) -> DataFrame:
+        """Seen-bloom for this round, maintained incrementally.
+
+        Full build (one O(frontier) pass) happens only when the bloom
+        does not exist or the frontier outgrew the capacity the bitmaps
+        were sized for — capacity doubles, so full rebuilds are
+        amortized O(1) per key, like a growable hash table. Every other
+        round ORs in ONLY the previous round's frontier delta
+        (merge_blooms over the delta's bucket rows — O(batch)); the
+        merged table materializes lazily inside this round's probe
+        action, no extra job. State-flip rows in the delta re-set bits
+        that are already set (idempotent).
+        """
+        if (
+            self._bloom is not None
+            and self._n_frontier <= self._bloom_capacity
+            and self._bloom_pending_delta is not None
+        ):
+            delta_keys = self.frontier.read_version_only(
+                self._bloom_pending_delta
+            ).select("url_hash")
+            inc = build_bloom(
+                delta_keys,
+                n_buckets=self.bloom_buckets,
+                geometry=self._bloom_geom,
+            )
+            if self._bloom_prev is not None:
+                self._bloom_prev.unpersist()
+            self._bloom_prev = self._bloom
+            self._bloom = merge_blooms(self._bloom, inc).cache()
+        elif self._bloom is None or self._n_frontier > self._bloom_capacity:
+            self._bloom_capacity = max(
+                2 * self._n_frontier, 2 * self.bloom_min_frontier
+            )
+            self._bloom_geom = bloom_geometry(
+                int(self._bloom_capacity / self.bloom_buckets) + 1, 0.01
+            )
+            if self._bloom_prev is not None:
+                self._bloom_prev.unpersist()
+            self._bloom_prev = self._bloom
+            self._bloom = build_bloom(
+                frontier.select("url_hash"),
+                n_buckets=self.bloom_buckets,
+                geometry=self._bloom_geom,
+            ).cache()
+        self._bloom_pending_delta = None
+        return self._bloom
 
     # -- one round ---------------------------------------------------------
     def run_round(self, round_no: int) -> dict:
@@ -436,18 +498,12 @@ class CrawlEngine:
         # os.path.exists only because it is cheap.
         use_bloom = self._n_frontier >= self.bloom_min_frontier
         if use_bloom:
-            bloom = build_bloom(
-                frontier.select("url_hash"),
-                n_buckets=self.bloom_buckets,
-                expected_total=self._n_frontier,
-            )
+            bloom = self._current_bloom(frontier)
             # physical strategy from geometry alone (driver-side math,
             # no extra job): small total bitmap -> broadcast (map-only
             # probe); big -> bucket-co-partitioned cogroup, which never
             # collects bitmaps to the driver (the 10^10-key path)
-            m_bits, _ = bloom_geometry(
-                int(self._n_frontier / self.bloom_buckets) + 1, 0.01
-            )
+            m_bits, _ = self._bloom_geom
             via = (
                 "cogroup"
                 if m_bits // 8 * self.bloom_buckets > BROADCAST_MAX_BITMAP_BYTES
@@ -487,6 +543,9 @@ class CrawlEngine:
         else:  # COW fallback (first write): full table = old + new
             n_new = self.frontier.version_rows(frontier_v) - self._n_frontier
         self._n_frontier += n_new
+        # fold this round's delta into the seen-bloom NEXT round
+        # (O(batch) incremental update instead of a full rebuild)
+        self._bloom_pending_delta = self.frontier.last_delta_version
 
         # lineage: partition balance came from the records version's
         # parquet footers (north-rule metrics, no extra action)

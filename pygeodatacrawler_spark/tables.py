@@ -247,6 +247,11 @@ class SnapshotTable:
         """Total row count of one version (footers; no Spark job)."""
         return sum(self.version_file_rows(version))
 
+    def read_version_only(self, version: int) -> DataFrame:
+        """Scan exactly one version's files (no log union, no
+        last-wins resolve) — e.g. one round's delta rows."""
+        return self.spark.read.parquet(self._vdir(version))
+
     def drop(self) -> None:
         shutil.rmtree(self.dir, ignore_errors=True)
         os.makedirs(self.dir, exist_ok=True)

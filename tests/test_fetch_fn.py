@@ -90,3 +90,35 @@ def test_fetch_fn_crawl_matches_store_crawl(spark):
     ]
     assert va == vb  # identical visit order
     pages.unpersist()
+
+
+def test_incremental_bloom_path_matches_exact(spark):
+    # bloom forced ON (threshold 0): round 1 full-builds, every later
+    # round folds only the frontier delta (capacity-doubling rebuilds
+    # excepted) — final tables must equal the plain anti-join engine's
+    pages, seeds, robots = _corpus(spark)
+    fetch = make_fetch_fn(N_PAGES, N_HOSTS, words_min=20, words_max=80)
+
+    eng_exact = CrawlEngine(
+        spark, tempfile.mkdtemp(), None, robots, host_budget=60, fetch_fn=fetch
+    )
+    eng_exact.init_from_seeds(seeds)
+    s1 = eng_exact.run(max_rounds=8)
+
+    eng_bloom = CrawlEngine(
+        spark, tempfile.mkdtemp(), None, robots, host_budget=60,
+        fetch_fn=fetch, bloom_min_frontier=0, bloom_buckets=4,
+    )
+    eng_bloom.init_from_seeds(seeds)
+    s2 = eng_bloom.run(max_rounds=8)
+
+    assert s1.urls_fetched == s2.urls_fetched and s1.rounds == s2.rounds
+    a = {
+        (r["url_hash"], r["state"])
+        for r in eng_exact.frontier.read().select("url_hash", "state").collect()
+    }
+    b = {
+        (r["url_hash"], r["state"])
+        for r in eng_bloom.frontier.read().select("url_hash", "state").collect()
+    }
+    assert a == b
