@@ -1451,9 +1451,7 @@ cfg(val, lbl, cmin, cmax, color) as (values
 ), rendered as (
   select
     case when val is not null then
-      '( [score] = ' ||
-      (case when regexp_matches(val, '^-?\\d+(\\.\\d+)?$') then val
-            else '"' || val || '"' end) || ' )'
+      '( [score] = "' || val || '" )'
     when cmin is not null and cmax is not null then
       '( [score] >= ' || cmin::varchar || ' AND [score] <= ' ||
       cmax::varchar || ' )'

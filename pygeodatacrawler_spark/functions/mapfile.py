@@ -67,12 +67,23 @@ def ms_styler(
     size: Column | None = None,
     width: Column | None = None,
 ) -> Column:
-    """STYLE body per geomtype (msStyler, mapfile.py:448-465)."""
+    """STYLE body per geomtype (msStyler, mapfile.py:448-465).
+
+    Optional args accept real Columns; ``x or F.lit(None)`` is NOT used
+    because Python ``or`` would bool() a Column and raise. Unknown
+    geomtypes render the literal string ``None`` — byte-parity with the
+    reference, whose msStyler returns Python ``None`` that the caller's
+    f-string interpolates as ``None`` (mapfile.py:464-465).
+    """
+
+    def _opt(x: Column | None) -> Column:
+        return F.lit(None) if x is None else x
+
     col = hexcolor(F.coalesce(color, F.lit("#eeeeee")))
-    lcol = hexcolor(F.coalesce(linecolor or F.lit(None), F.lit("#232323")))
-    sym = F.coalesce(symbol or F.lit(None), F.lit("circle"))
-    sz = F.coalesce((size or F.lit(None)).cast("double"), F.lit(5.0))
-    wd = F.coalesce((width or F.lit(None)).cast("double"), F.lit(0.1))
+    lcol = hexcolor(F.coalesce(_opt(linecolor), F.lit("#232323")))
+    sym = F.coalesce(_opt(symbol), F.lit("circle"))
+    sz = F.coalesce(_opt(size).cast("double"), F.lit(5.0))
+    wd = F.coalesce(_opt(width).cast("double"), F.lit(0.1))
     return (
         F.when(geomtype == "grid", F.format_string('COLOR "%s"\n', col))
         .when(
@@ -97,6 +108,7 @@ def ms_styler(
                 col, lcol, wd.cast("string"),
             ),
         )
+        .otherwise(F.lit("None"))
     )
 
 
@@ -161,13 +173,22 @@ def config_classes(
 
     ``classes`` is the style config (small — broadcast): one row per
     class with nullable ``val``/``lbl``/``cmin``/``cmax``/``color``.
-    A ``val`` row renders ``[prop] = val`` (strings double-quoted per
-    quoteStr); a ``cmin``/``cmax`` row renders the closed range. Label
-    defaults: str(val) / 'min - max' (mapfile.py:430-437).
+    A ``val`` row renders ``[prop] = val``; a ``cmin``/``cmax`` row
+    renders the closed range. Label defaults: str(val) / 'min - max'
+    (mapfile.py:430-437).
+
+    quoteStr parity (mapfile.py:500-504): the reference quotes EVERY
+    ``str`` val — including numeric-looking ones like ``'42'`` (its own
+    todo notes this). Spark columns are mono-typed, so the rule maps to
+    the column dtype: a string ``val`` column is always double-quoted,
+    a numeric one never is.
     """
-    quoted = F.when(
-        F.col("val").rlike(r"^-?\d+(\.\d+)?$"), F.col("val")
-    ).otherwise(F.concat(F.lit('"'), F.col("val"), F.lit('"')))
+    val_is_str = dict(classes.dtypes).get("val") == "string"
+    quoted = (
+        F.concat(F.lit('"'), F.col("val"), F.lit('"'))
+        if val_is_str
+        else F.col("val").cast("string")
+    )
     rendered = classes.select(
         "*",
         F.when(
@@ -199,14 +220,22 @@ def config_classes(
 
 
 def render_class_block(
-    df: DataFrame, geomtype: Column | str = "polygon"
+    df: DataFrame, geomtype: Column | str = "polygon", name_quote: str = '"'
 ) -> DataFrame:
-    """Rows -> full CLASS blocks (NAME/GROUP/EXPRESSION/STYLE...END)."""
+    """Rows -> full CLASS blocks (NAME/GROUP/EXPRESSION/STYLE...END).
+
+    ``name_quote`` mirrors the reference's mode split: equal-width
+    (mode 1) class names/groups are single-quoted (mapfile.py:419-425,
+    ``NAME '{cur} - {cur+sgmt}'``) while dict-config modes 2+3 are
+    double-quoted (mapfile.py:432-436). Pass ``"'"`` when rendering
+    equal_width_classes rows for byte parity.
+    """
     gt = F.lit(geomtype) if isinstance(geomtype, str) else geomtype
+    q = name_quote
     return df.withColumn(
         "class_block",
         F.format_string(
-            "CLASS\nNAME \"%s\"\nGROUP \"%s\"\nEXPRESSION %s\nSTYLE\n%sEND\nEND\n\n",
+            f"CLASS\nNAME {q}%s{q}\nGROUP {q}%s{q}\nEXPRESSION %s\nSTYLE\n%sEND\nEND\n\n",
             F.col("label"), F.col("grp"), F.col("expression"),
             ms_styler(gt, F.col("color")),
         ),

@@ -117,3 +117,33 @@ def test_geo_and_mapfile_columns(spark):
         [("255 128 0",), ("#AABBCC",), ("",), (None,)], "c string"
     ).select(hexcolor(F.col("c")).alias("h")).collect()
     assert [r.h for r in hx] == ["#ff8000", "#AABBCC", "#CCCCCC", "#CCCCCC"]
+
+
+def test_ms_styler_optional_columns(spark):
+    # Optional args must accept real Columns: `x or F.lit(None)` would
+    # bool() the Column and raise CANNOT_CONVERT_COLUMN_INTO_BOOL.
+    import pyspark.sql.functions as F
+
+    from pygeodatacrawler_spark.functions.mapfile import ms_styler
+
+    df = spark.createDataFrame(
+        [
+            ("point", "#ff0000", "0 0 0", "star", 7.0, 2.0),
+            ("polygon", None, None, None, None, None),
+            ("hexagon", "#ff0000", None, None, None, None),
+        ],
+        "g string, c string, lc string, sym string, sz double, w double",
+    )
+    out = df.select(
+        ms_styler(
+            F.col("g"), F.col("c"), F.col("lc"),
+            F.col("sym"), F.col("sz"), F.col("w"),
+        ).alias("s")
+    ).collect()
+    assert out[0].s == (
+        'SYMBOL "star"\nCOLOR "#ff0000"\nSIZE 7.0\n'
+        'OUTLINECOLOR "#000000"\nOUTLINEWIDTH 0.1\n'
+    )
+    assert out[1].s == 'COLOR "#eeeeee"\nOUTLINECOLOR "#232323"\nOUTLINEWIDTH 0.1\n'
+    # unknown geomtype renders literal 'None' like the reference f-string
+    assert out[2].s == "None"
