@@ -40,13 +40,18 @@ def main(argv: list[str] | None = None) -> int:
     c.add_argument("--fixture-pages", type=int, default=2000)
     c.add_argument(
         "--fetch",
-        choices=["store", "synth"],
+        choices=["store", "synth", "http"],
         default="store",
         help="store: probe the pages table per round; synth: per-URL "
         "fetch UDF regenerating fixture pages from the URL (production "
-        "shape — O(batch) rounds, no page store)",
+        "shape — O(batch) rounds, no page store); http: real HTTP GETs "
+        "with the reference's fetchUrl semantics (requires --seeds)",
     )
     c.add_argument("--fixture-hosts", type=int, default=20)
+    c.add_argument(
+        "--contact", default=None,
+        help="mailto contact for the http fetch UA (default $pgdc_contact)",
+    )
     _add_common(c)
 
     h = sub.add_parser("harvest", help="metadata harvest pass")
@@ -94,6 +99,28 @@ def main(argv: list[str] | None = None) -> int:
                     robots = spark.read.parquet(args.robots)
                 pages = None
                 fetch_fn = make_fetch_fn(args.fixture_pages, args.fixture_hosts)
+            elif args.fetch == "http":
+                from pygeodatacrawler_spark.operators.fetch import (
+                    make_http_fetch_fn,
+                )
+
+                if not args.seeds:
+                    raise SystemExit("--fetch http requires --seeds")
+                seeds = spark.read.parquet(args.seeds)
+                robots = spark.read.parquet(args.robots) if args.robots else None
+                delays = None
+                if robots is not None:
+                    delays = {
+                        r["registered_domain"]: float(r["crawl_delay"])
+                        for r in robots.select(
+                            "registered_domain", "crawl_delay"
+                        ).collect()
+                        if r["crawl_delay"]
+                    }
+                pages = None
+                fetch_fn = make_http_fetch_fn(
+                    contact=args.contact, crawl_delays=delays
+                )
             elif args.pages:
                 pages = spark.read.parquet(args.pages)
                 seeds = spark.read.parquet(args.seeds) if args.seeds else None

@@ -49,6 +49,8 @@ def pick_batch(
     frontier: DataFrame,
     robots: DataFrame | None = None,
     host_budget: int = DEFAULT_HOST_BUDGET,
+    salt_threshold: int | None = None,
+    salt_buckets: int = 8,
 ) -> DataFrame:
     """One round's fetch batch: politeness-filtered, priority-ranked,
     budget-capped per registered_domain.
@@ -57,6 +59,15 @@ def pick_batch(
     discovery_ts). Adds ``host_rank``. Uses a window (one shuffle on
     registered_domain); the host cap bounds any single host's
     contribution, so post-filter partitions are naturally de-skewed.
+
+    ``salt_threshold`` fuses heavy-host salting into the SAME exchange:
+    the per-host pending count rides an unordered window over the
+    identical partition spec (Catalyst plans both window operators over
+    one shuffle), so the salt decision costs no aggregate and no join —
+    this replaced a groupBy + broadcast-join pair that added two stages
+    to every crawl round. The post-cap batch size of a host is
+    least(pending, budget), which reproduces exactly what counting the
+    capped batch (the old salt_heavy_hosts input) measured.
     """
     f = frontier
     budget_col = F.lit(host_budget)
@@ -68,10 +79,21 @@ def pick_batch(
     w = Window.partitionBy("registered_domain").orderBy(
         "depth", "discovery_ts", "canon_url"
     )
-    return (
+    out = (
         f.withColumn("_budget", budget_col)
         .withColumn("host_rank", F.row_number().over(w))
-        .filter(F.col("host_rank") <= F.col("_budget"))
+    )
+    if salt_threshold is not None:
+        n_host = F.count("*").over(Window.partitionBy("registered_domain"))
+        out = out.withColumn(
+            "salt",
+            F.when(
+                F.least(n_host, F.col("_budget")) > salt_threshold,
+                F.pmod(F.xxhash64("canon_url"), F.lit(salt_buckets)).cast("int"),
+            ).otherwise(F.lit(0)),
+        )
+    return (
+        out.filter(F.col("host_rank") <= F.col("_budget"))
         .drop("_budget", "max_pages", "crawl_delay")
     )
 

@@ -50,7 +50,6 @@ from pygeodatacrawler_spark.functions.urls import (
 from pygeodatacrawler_spark.operators.frontier import (
     pick_batch,
     repartition_for_fetch,
-    salt_heavy_hosts,
 )
 from pygeodatacrawler_spark.operators.seen import (
     BROADCAST_MAX_BITMAP_BYTES,
@@ -181,12 +180,27 @@ class CrawlEngine:
         self._bloom_geom: tuple[int, int] | None = None
         self._bloom_capacity = 0
         self._bloom_pending_delta: int | None = None
+        self._bloom_folds = 0
+        # resolved-frontier cache, maintained INCREMENTALLY across
+        # rounds: applying the committed delta to the cached state
+        # (broadcast state-flip + O(batch) union) replaces re-running
+        # the merge-on-read resolve — a key-window over base+deltas,
+        # i.e. O(frontier) shuffle — every round. The disk table stays
+        # the source of truth (resume/reconcile drop the cache); the
+        # cache is refreshed from disk at every compaction, which both
+        # truncates the lineage chain (≤ compact_every levels deep, so
+        # an evicted cache recomputes through at most one compact cycle
+        # — DataFrame cache is MEMORY_AND_DISK, so at 10^10 rows the
+        # frontier spills rather than OOMs) and keeps the two in sync.
+        self._frontier_df: DataFrame | None = None
+        self._frontier_prev: DataFrame | None = None
 
     # -- bootstrap ---------------------------------------------------------
     def init_from_seeds(self, seeds: DataFrame) -> None:
         """seeds(url, depth) -> frontier v1 (all pending, round 0)."""
         self.frontier.rollback(0)
         self.records.rollback(0)
+        self._drop_frontier_cache()
         v = self.frontier.write_snapshot(seeds_to_frontier(seeds))
         self._n_frontier = self.frontier.read().count()
         self.commit_external(frontier_v=v)
@@ -225,6 +239,14 @@ class CrawlEngine:
         rr = self.records.rollback(int(last["records_v"]))
         if fr or rr:
             self._n_frontier = None  # recount from the reconciled snapshot
+            self._drop_frontier_cache()
+
+    def _drop_frontier_cache(self) -> None:
+        for df in (self._frontier_df, self._frontier_prev):
+            if df is not None:
+                df.unpersist()
+        self._frontier_df = None
+        self._frontier_prev = None
 
     def _read_lineage(self) -> list[dict]:
         if not os.path.exists(self.lineage_path):
@@ -271,12 +293,31 @@ class CrawlEngine:
         merged table materializes lazily inside this round's probe
         action, no extra job. State-flip rows in the delta re-set bits
         that are already set (idempotent).
+
+        The branch structure is EXHAUSTIVE: any state that is not
+        provably fold-able (no bloom, outgrown capacity, or no pending
+        delta recorded — the last happens after a COW-fallback frontier
+        write, where last_delta_version is None) falls into a full
+        rebuild. A silent stale-bloom return would turn bloom false
+        negatives into re-fetches of seen URLs.
+
+        Every 8th fold localCheckpoints the merged bloom instead of
+        caching it: each fold adds a merge + delta-scan layer to the
+        cached plan's lineage, and after hundreds of rounds a cache
+        eviction would recompute through the whole chain (the
+        capacity-doubling rebuild stops truncating it once the frontier
+        growth plateaus). The checkpoint bounds recompute depth at 8
+        folds; it is tiny (B bucket rows).
         """
-        if (
+        can_fold = (
             self._bloom is not None
             and self._n_frontier <= self._bloom_capacity
             and self._bloom_pending_delta is not None
-        ):
+        )
+        if self._bloom_prev is not None:
+            self._bloom_prev.unpersist()
+        self._bloom_prev = self._bloom
+        if can_fold:
             delta_keys = self.frontier.read_version_only(
                 self._bloom_pending_delta
             ).select("url_hash")
@@ -285,20 +326,20 @@ class CrawlEngine:
                 n_buckets=self.bloom_buckets,
                 geometry=self._bloom_geom,
             )
-            if self._bloom_prev is not None:
-                self._bloom_prev.unpersist()
-            self._bloom_prev = self._bloom
-            self._bloom = merge_blooms(self._bloom, inc).cache()
-        elif self._bloom is None or self._n_frontier > self._bloom_capacity:
-            self._bloom_capacity = max(
-                2 * self._n_frontier, 2 * self.bloom_min_frontier
-            )
-            self._bloom_geom = bloom_geometry(
-                int(self._bloom_capacity / self.bloom_buckets) + 1, 0.01
-            )
-            if self._bloom_prev is not None:
-                self._bloom_prev.unpersist()
-            self._bloom_prev = self._bloom
+            merged = merge_blooms(self._bloom, inc)
+            self._bloom_folds += 1
+            if self._bloom_folds % 8 == 0:
+                self._bloom = merged.localCheckpoint(eager=False)
+            else:
+                self._bloom = merged.cache()
+        else:
+            if self._n_frontier > self._bloom_capacity:
+                self._bloom_capacity = max(
+                    2 * self._n_frontier, 2 * self.bloom_min_frontier
+                )
+                self._bloom_geom = bloom_geometry(
+                    int(self._bloom_capacity / self.bloom_buckets) + 1, 0.01
+                )
             self._bloom = build_bloom(
                 frontier.select("url_hash"),
                 n_buckets=self.bloom_buckets,
@@ -310,20 +351,29 @@ class CrawlEngine:
     # -- one round ---------------------------------------------------------
     def run_round(self, round_no: int) -> dict:
         t0 = time.monotonic()
-        frontier = self.frontier.read().cache()
+        if self._frontier_df is None:  # fresh engine / post-reconcile
+            self._frontier_df = self.frontier.read().cache()
+        frontier = self._frontier_df
         if self._n_frontier is None:
             self._n_frontier = frontier.count()  # resume path
         pending = frontier.filter(F.col("state") == "pending")
 
-        batch = pick_batch(pending, self.robots, self.host_budget)
         # pick_batch caps every host at host_budget rows, so no host can
         # exceed the heavy threshold unless the budget itself does — a
-        # driver-side check that skips the salt join (host-count agg +
-        # broadcast) entirely in the common small-budget config
-        if self.host_budget > self.salt_threshold:
-            batch = salt_heavy_hosts(batch, heavy_threshold=self.salt_threshold)
-        else:
-            batch = repartition_for_fetch(batch.withColumn("salt", F.lit(0)))
+        # driver-side check that skips the salt window entirely in the
+        # common small-budget config; otherwise the salt decision rides
+        # the SAME exchange as the priority window (no agg, no join)
+        salt_thr = (
+            self.salt_threshold
+            if self.host_budget > self.salt_threshold
+            else None
+        )
+        batch = pick_batch(
+            pending, self.robots, self.host_budget, salt_threshold=salt_thr
+        )
+        if salt_thr is None:
+            batch = batch.withColumn("salt", F.lit(0))
+        batch = repartition_for_fetch(batch)
         batch = batch.select(*FRONTIER_COLS, "host_rank", "salt").cache()
 
         # fetch (HTTP stand-in): probe the pages store with the batch keys.
@@ -468,7 +518,6 @@ class CrawlEngine:
             self.records.rollback(prev_records_v)
             batch.unpersist()
             records.unpersist()
-            frontier.unpersist()
             return {"round": round_no, "rows_in": 0, "rows_out": 0, "done": True}
         n_records = n_batch
         n_parts = len(file_rows)
@@ -534,18 +583,59 @@ class CrawlEngine:
             fetched_rows.unionByName(new_links),
             current=frontier,
         )
-        if self.frontier.last_delta_version is not None:
+        delta_v = self.frontier.last_delta_version
+        if delta_v is not None:
             # delta = n_batch state flips + the new pendings
-            n_new = (
-                self.frontier.version_rows(self.frontier.last_delta_version)
-                - n_batch
-            )
+            n_new = self.frontier.version_rows(delta_v) - n_batch
         else:  # COW fallback (first write): full table = old + new
             n_new = self.frontier.version_rows(frontier_v) - self._n_frontier
         self._n_frontier += n_new
         # fold this round's delta into the seen-bloom NEXT round
         # (O(batch) incremental update instead of a full rebuild)
-        self._bloom_pending_delta = self.frontier.last_delta_version
+        self._bloom_pending_delta = delta_v
+
+        # maintain the resolved-frontier cache incrementally: flip the
+        # fetched keys' state via a broadcast join against the committed
+        # delta (O(batch) side) and union the delta's new pendings —
+        # NO merge-on-read window, no frontier rescan. Reading the flip
+        # keys back from the delta files (not from `batch`) keeps the
+        # next frontier's lineage anchored on disk, so an evicted cache
+        # replays a cheap scan instead of the whole fetch pipeline.
+        # delta keys are disjoint by construction (flips ⊂ frontier,
+        # pendings anti-joined against it), so apply-delta == the
+        # last-writer-wins resolve the disk read() would compute.
+        compacted = delta_v is None or frontier_v != delta_v
+        if self._frontier_prev is not None:
+            self._frontier_prev.unpersist()
+        if compacted:
+            # compaction (or COW fallback) wrote a full base snapshot:
+            # refresh from disk — a single-version scan with no resolve
+            # window — which also truncates the cache's lineage chain
+            self._frontier_prev = self._frontier_df
+            self._frontier_df = self.frontier.read().cache()
+        else:
+            delta = self.frontier.read_version_only(delta_v)
+            flip_keys = (
+                delta.filter(F.col("state") == "fetched")
+                .select("url_hash")
+                .withColumn("_flip", F.lit(True))
+            )
+            flipped = (
+                frontier.join(F.broadcast(flip_keys), "url_hash", "left")
+                .withColumn(
+                    "state",
+                    F.when(F.col("_flip"), F.lit("fetched")).otherwise(
+                        F.col("state")
+                    ),
+                )
+                .drop("_flip")
+                .select(*FRONTIER_COLS)
+            )
+            new_pending = delta.filter(F.col("state") == "pending").select(
+                *FRONTIER_COLS
+            )
+            self._frontier_prev = self._frontier_df
+            self._frontier_df = flipped.unionByName(new_pending).cache()
 
         # lineage: partition balance came from the records version's
         # parquet footers (north-rule metrics, no extra action)
@@ -581,7 +671,6 @@ class CrawlEngine:
         self._append_lineage(line)
         batch.unpersist()
         records.unpersist()
-        frontier.unpersist()
         self.stats.rounds += 1
         self.stats.urls_fetched += n_batch
         self.stats.urls_discovered += n_new

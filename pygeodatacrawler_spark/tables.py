@@ -132,7 +132,16 @@ class SnapshotTable:
         All versions are read in ONE multi-path scan (one plan, one
         stage) with the version recovered from the file path — 10+
         per-version scans planned separately measured ~2x slower on the
-        crawl loop at sandbox scale."""
+        crawl loop at sandbox scale.
+
+        Cost ceiling (stated for the record): this window is O(rows in
+        base + pending deltas) per call — real Iceberg MOR avoids the
+        key-window via positional delete files. Callers that read every
+        round must NOT pay it every round: CrawlEngine maintains a
+        resolved-frontier cache incrementally (apply-delta on the cached
+        state) and only comes back here on resume and right after
+        compaction, when a single base version makes this a plain scan
+        (the len(vs)==1 fast path above)."""
         m = self._meta()
         bases = [b for b in m["bases"] if b <= v]
         base = bases[-1] if bases else None

@@ -108,3 +108,26 @@ def test_mid_round_crash_replays_identically(spark):
             fresh = CrawlEngine(spark, tmp, pages, robots, host_budget=BUDGET)
             fresh.run(max_rounds=50)
             assert _collect_state(fresh) == full, crash_point
+
+
+def test_incremental_frontier_cache_matches_disk_resolve(spark):
+    # The engine maintains the resolved frontier incrementally
+    # (broadcast state-flip + delta union) instead of re-running the
+    # merge-on-read window every round; the invariant is that the
+    # cached state ALWAYS equals what SnapshotTable.read() resolves
+    # from disk — checked here mid-run (between compactions) and at
+    # convergence (after at least one compaction refresh).
+    pages, seeds, robots = load_pages(spark, n_pages=N_PAGES, n_hosts=N_HOSTS)
+    with tempfile.TemporaryDirectory() as tmp:
+        eng = CrawlEngine(spark, tmp, pages, robots, host_budget=BUDGET)
+        eng.frontier.compact_every = 4  # force a compaction mid-run
+        eng.init_from_seeds(seeds)
+        eng.run(max_rounds=3)
+        mid_cache = sorted(map(tuple, eng._frontier_df.collect()))
+        mid_disk = sorted(map(tuple, eng.frontier.read().collect()))
+        assert mid_cache == mid_disk and len(mid_cache) > 0
+        stats = eng.run(max_rounds=50)
+        assert stats.rounds > 4  # crossed a compaction refresh
+        end_cache = sorted(map(tuple, eng._frontier_df.collect()))
+        end_disk = sorted(map(tuple, eng.frontier.read().collect()))
+        assert end_cache == end_disk

@@ -1,0 +1,156 @@
+"""Real HTTP fetch (S7): make_http_fetch_fn vs a localhost http.server.
+
+Closes the round-2 gap "production shape but no real HTTP client body":
+the same fetch_fn interface the engine fuses with extract now drives a
+requests.Session with the reference's fetchUrl semantics
+(/root/reference/geodatacrawler/utils.py:852-863) — UA template,
+5 s timeout, raise_for_status, SSLError retry-without-verify — and a
+full CrawlEngine run over HTTP produces tables identical to the
+store-join mode on the same corpus.
+"""
+
+from __future__ import annotations
+
+import tempfile
+import threading
+import time
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+import pandas as pd
+import pytest
+
+from pygeodatacrawler_spark.operators.fetch import (
+    default_user_agent,
+    make_http_fetch_fn,
+)
+
+N_PAGES = 40
+
+
+def _page_html(i: int) -> bytes:
+    links = "".join(
+        f'<a href="/p{j}.html">child {j}</a>'
+        for j in (2 * i + 1, 2 * i + 2)
+        if j < N_PAGES
+    )
+    return (
+        f"<html><head><title>page {i}</title></head>"
+        f"<body><p>content of page {i}, repeated {'x' * (i % 7)}</p>"
+        f"{links}</body></html>"
+    ).encode()
+
+
+@pytest.fixture(scope="module")
+def corpus_server():
+    pages = {f"/p{i}.html": _page_html(i) for i in range(N_PAGES)}
+    seen_uas: list[str] = []
+
+    class Handler(BaseHTTPRequestHandler):
+        def do_GET(self):
+            seen_uas.append(self.headers.get("User-Agent", ""))
+            body = pages.get(self.path)
+            if body is None:
+                self.send_error(404)
+                return
+            self.send_response(200)
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def log_message(self, *args):  # keep pytest output clean
+            pass
+
+    srv = ThreadingHTTPServer(("127.0.0.1", 0), Handler)
+    thread = threading.Thread(target=srv.serve_forever, daemon=True)
+    thread.start()
+    try:
+        yield srv.server_address[1], pages, seen_uas
+    finally:
+        srv.shutdown()
+
+
+def test_http_fetch_byte_identity_and_404(corpus_server):
+    port, pages, seen_uas = corpus_server
+    fetch = make_http_fetch_fn(version="9.9", contact="ops@example.org")
+    urls = [f"http://127.0.0.1:{port}/p{i}.html" for i in (0, 3, 7)]
+    urls.append(f"http://127.0.0.1:{port}/missing.html")  # 404 -> dropped
+    out = pd.concat(list(fetch(iter([pd.DataFrame({"url": urls})]))))
+    assert list(out["url"]) == urls[:3]
+    for u, h in zip(out["url"], out["html"]):
+        path = "/" + u.rsplit("/", 1)[1]
+        assert bytes(h) == pages[path]
+    # reference UA template, two spaces after ';' (utils.py:855-856)
+    assert seen_uas and set(seen_uas) == {
+        "pyGeoDataCrawler 9.9;  (mailto:ops@example.org)"
+    }
+    assert default_user_agent("9.9", "ops@example.org") == seen_uas[0]
+
+
+def test_http_fetch_ssl_retry(monkeypatch):
+    import requests
+
+    calls = []
+
+    def fake_get(self, url, headers=None, timeout=None, verify=True):
+        calls.append({"url": url, "verify": verify, "timeout": timeout})
+        if verify:
+            raise requests.exceptions.SSLError("bad cert")
+        resp = requests.models.Response()
+        resp.status_code = 200
+        resp._content = b"<html>insecure ok</html>"
+        return resp
+
+    monkeypatch.setattr(requests.Session, "get", fake_get)
+    fetch = make_http_fetch_fn()
+    out = pd.concat(
+        list(fetch(iter([pd.DataFrame({"url": ["https://bad-cert.example/x"]})])))
+    )
+    assert len(out) == 1 and bytes(out["html"].iloc[0]) == b"<html>insecure ok</html>"
+    # first attempt verified, retry with verify=False, same 5 s timeout
+    assert [c["verify"] for c in calls] == [True, False]
+    assert all(c["timeout"] == 5.0 for c in calls)
+
+
+def test_http_fetch_politeness_delay(corpus_server):
+    port, _, _ = corpus_server
+    fetch = make_http_fetch_fn(crawl_delays={"127.0.0.1": 0.15})
+    urls = [f"http://127.0.0.1:{port}/p{i}.html" for i in range(4)]
+    t0 = time.monotonic()
+    out = pd.concat(list(fetch(iter([pd.DataFrame({"url": urls})]))))
+    elapsed = time.monotonic() - t0
+    assert len(out) == 4
+    assert elapsed >= 3 * 0.15  # spaced, not burst
+
+
+def test_http_crawl_matches_store_crawl(spark, corpus_server):
+    from pygeodatacrawler_spark.plans.crawl import CrawlEngine
+
+    port, pages, _ = corpus_server
+    base = f"http://127.0.0.1:{port}"
+    seeds = spark.createDataFrame([(f"{base}/p0.html", 0)], "url string, depth int")
+    store = spark.createDataFrame(
+        [(f"{base}{path}", bytearray(body)) for path, body in pages.items()],
+        "url string, html binary",
+    )
+
+    eng_http = CrawlEngine(
+        spark,
+        tempfile.mkdtemp(),
+        pages=None,
+        fetch_fn=make_http_fetch_fn(),
+        host_budget=16,
+    )
+    eng_http.init_from_seeds(seeds)
+    stats = eng_http.run(max_rounds=20)
+    assert stats.urls_fetched == N_PAGES  # reached every page over HTTP
+
+    eng_store = CrawlEngine(
+        spark, tempfile.mkdtemp(), pages=store, host_budget=16
+    )
+    eng_store.init_from_seeds(seeds)
+    eng_store.run(max_rounds=20)
+
+    cols = ["canon_url", "depth", "round", "text_sha2", "n_bytes"]
+    got = sorted(map(tuple, eng_http.records.read().select(*cols).collect()))
+    want = sorted(map(tuple, eng_store.records.read().select(*cols).collect()))
+    assert got == want  # byte-identical extraction, same rounds/order
