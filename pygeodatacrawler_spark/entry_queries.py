@@ -970,23 +970,104 @@ from events
 
 
 def q_media_decode(spark, sf_dir):
-    # multimodal plumbing: binary payload -> typed metadata (fake decode;
-    # deterministic function of the bytes, so SQL can oracle it)
-    from pygeodatacrawler_spark.operators.media import decode_media
+    # S4/S6 real decode: per-row GeoTIFF / XLSX payloads are SYNTHESIZED
+    # from doc_id (encode_*_fixture), pushed through the binary column
+    # and decoded back by the dependency-free parsers
+    # (functions/media_codecs.py) — decode(encode(x)) == x, with x
+    # derivable in SQL. n_bytes is only oracled for the opaque branch
+    # (header sizes aren't SQL-derivable).
+    import pandas as pd
 
-    d = _table(spark, sf_dir, "documents").select(
-        "doc_id",
-        F.encode(F.col("text"), "utf-8").alias("payload"),
-        F.lit("text/fake").alias("media_type"),
+    from pygeodatacrawler_spark.functions.media_codecs import (
+        encode_geotiff_fixture,
+        encode_xlsx_fixture,
     )
-    return decode_media(d, "payload", "media_type", "doc_id")
+    from pygeodatacrawler_spark.operators.media import XLSX_TYPE, decode_media
+
+    d = _table(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def _make(pdf_iter):
+        for pdf in pdf_iter:
+            payloads, types = [], []
+            for i, txt in zip(pdf["doc_id"], pdf["text"]):
+                i = int(i)
+                if i % 3 == 0:
+                    payloads.append(
+                        encode_geotiff_fixture(
+                            width=i % 512 + 1,
+                            height=i % 384 + 1,
+                            n_bands=i % 4 + 1,
+                            ulx=float(i % 360 - 180),
+                            uly=float(i % 140 - 60),
+                            xres=0.5,
+                            yres=-0.25,
+                            epsg=4326 if i % 2 == 0 else 32633,
+                            projected=(i % 2 == 1),
+                            nodata=float(i % 5) if i % 2 == 0 else None,
+                            byte_order="<" if i % 4 < 2 else ">",
+                        )
+                    )
+                    types.append("image/tiff")
+                elif i % 3 == 1:
+                    payloads.append(
+                        encode_xlsx_fixture(
+                            title=f"doc-{i}",
+                            creator="crawler",
+                            sheets=[f"s{j}" for j in range(i % 4 + 1)],
+                        )
+                    )
+                    types.append(XLSX_TYPE)
+                else:
+                    payloads.append((txt or "").encode())
+                    types.append("application/octet-stream")
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "payload": payloads,
+                    "media_type": types,
+                }
+            )
+
+    enc = d.mapInPandas(
+        _make, schema="doc_id long, payload binary, media_type string"
+    )
+    out = decode_media(enc, "payload", "media_type", "doc_id")
+    return out.select(
+        "doc_id",
+        "media_type",
+        F.when(F.col("media_type") == "application/octet-stream", F.col("n_bytes"))
+        .alias("raw_bytes"),
+        "width", "height", "n_bands", "epsg", "nodata",
+        F.element_at("bounds", 1).alias("b0"),
+        F.element_at("bounds", 2).alias("b1"),
+        F.element_at("bounds", 3).alias("b2"),
+        F.element_at("bounds", 4).alias("b3"),
+        "title", "creator", "n_sheets",
+    )
 
 
 SQL_MEDIA_DECODE = """
-select doc_id, 'text/fake' as media_type,
-       octet_length(encode(text))::BIGINT as n_bytes,
-       (octet_length(encode(text)) % 640 + 1)::INT as width,
-       (octet_length(encode(text)) % 480 + 1)::INT as height
+select doc_id,
+  case doc_id % 3
+    when 0 then 'image/tiff'
+    when 1 then 'application/vnd.openxmlformats-officedocument.spreadsheetml.sheet'
+    else 'application/octet-stream' end as media_type,
+  case when doc_id % 3 = 2 then octet_length(encode(text))::BIGINT end as raw_bytes,
+  case when doc_id % 3 = 0 then (doc_id % 512 + 1)::INT end as width,
+  case when doc_id % 3 = 0 then (doc_id % 384 + 1)::INT end as height,
+  case when doc_id % 3 = 0 then (doc_id % 4 + 1)::INT end as n_bands,
+  case when doc_id % 3 = 0 then
+    (case when doc_id % 2 = 0 then 'EPSG:4326' else 'EPSG:32633' end) end as epsg,
+  case when doc_id % 3 = 0 and doc_id % 2 = 0 then (doc_id % 5)::double end as nodata,
+  case when doc_id % 3 = 0 then (doc_id % 360 - 180)::double end as b0,
+  case when doc_id % 3 = 0 then
+    (doc_id % 140 - 60) - (doc_id % 384 + 1) * 0.25 end as b1,
+  case when doc_id % 3 = 0 then
+    (doc_id % 360 - 180) + (doc_id % 512 + 1) * 0.5 end as b2,
+  case when doc_id % 3 = 0 then (doc_id % 140 - 60)::double end as b3,
+  case when doc_id % 3 = 1 then 'doc-' || doc_id::varchar end as title,
+  case when doc_id % 3 = 1 then 'crawler' end as creator,
+  case when doc_id % 3 = 1 then (doc_id % 4 + 1)::INT end as n_sheets
 from documents
 """
 
@@ -1481,13 +1562,16 @@ where expression is not null
 
 def q_crs_codes(spark, sf_dir):
     # C4 crs2code (utils.py:207-229): authority recovery from every
-    # textual CRS form OSR round-trips; oracle = the ground-truth code
-    # each row was constructed from (stronger than re-running the regex).
+    # textual CRS form OSR round-trips, plus the FindMatches fuzzy path
+    # (utils.py:219-227) on non-authoritative WKT; oracle = the
+    # ground-truth code each row was constructed from (stronger than
+    # re-running the regex).
     from pygeodatacrawler_spark.functions.geo import crs2code
 
     n = _table(spark, sf_dir, "nation")
     code = (F.lit(4000) + F.col("n_nationkey")).cast("string")
-    form = F.col("n_nationkey") % 5
+    zone = (F.col("n_nationkey") % 60 + 1).cast("string")
+    form = F.col("n_nationkey") % 6
     crs_str = (
         F.when(form == 0, F.concat(F.lit("EPSG:"), code))
         .when(form == 1, F.concat(F.lit("urn:ogc:def:crs:EPSG::"), code))
@@ -1504,7 +1588,15 @@ def q_crs_codes(spark, sf_dir):
             form == 3,
             F.concat(F.lit("http://www.opengis.net/def/crs/EPSG/0/"), code),
         )
-        .otherwise(F.lit("WGS 84 / local grid"))
+        # non-authoritative WKT -> FindMatches-style fuzzy recovery
+        .when(
+            form == 4,
+            F.concat(
+                F.lit('PROJCS["WGS 84 / UTM zone '), zone,
+                F.lit('N",GEOGCS["WGS 84",DATUM["WGS_1984"]]]'),
+            ),
+        )
+        .otherwise(F.lit("not a known crs"))
     )
     return n.select(
         "n_nationkey",
@@ -1515,16 +1607,21 @@ def q_crs_codes(spark, sf_dir):
 
 SQL_CRS_CODES = """
 select n_nationkey,
-  case n_nationkey % 5
+  case n_nationkey % 6
     when 0 then 'EPSG:' || (4000 + n_nationkey)::varchar
     when 1 then 'urn:ogc:def:crs:EPSG::' || (4000 + n_nationkey)::varchar
     when 2 then 'PROJCS["local",GEOGCS["WGS 84",AUTHORITY["EPSG","4326"]],' ||
                 'AUTHORITY["EPSG","' || (4000 + n_nationkey)::varchar || '"]]'
     when 3 then 'http://www.opengis.net/def/crs/EPSG/0/' ||
                 (4000 + n_nationkey)::varchar
-    else 'WGS 84 / local grid' end as crs_str,
-  case when n_nationkey % 5 = 4 then ''
-       else 'EPSG:' || (4000 + n_nationkey)::varchar end as code
+    when 4 then 'PROJCS["WGS 84 / UTM zone ' ||
+                (n_nationkey % 60 + 1)::varchar ||
+                'N",GEOGCS["WGS 84",DATUM["WGS_1984"]]]'
+    else 'not a known crs' end as crs_str,
+  case n_nationkey % 6
+    when 4 then 'EPSG:' || (32600 + n_nationkey % 60 + 1)::varchar
+    when 5 then ''
+    else 'EPSG:' || (4000 + n_nationkey)::varchar end as code
 from nation
 """
 
@@ -1553,6 +1650,54 @@ def q_reproject_bounds(spark, sf_dir):
         (F.round(F.element_at(inv, 1), 6) + 0.0).alias("rlon0"),
         (F.round(F.element_at(inv, 2), 6) + 0.0).alias("rlat0"),
     )
+
+
+def q_reproject_utm(spark, sf_dir):
+    # C5 extension: 4326<->UTM via the transverse-mercator series
+    # (geo.py tm_forward/tm_inverse; covers the proj targets the
+    # reference hits through reprojectBounds, utils.py:240-256).
+    # Oracle strategy: (a) per-row roundtrip identity — inputs are
+    # exact 0.125/0.5-step decimals so inverse(forward(p)) rounds back
+    # to p exactly; (b) the forward transform pinned absolutely on a
+    # published control point (CN Tower, UTM 17N 630084.30 E
+    # 4833438.59 N) so a mirrored sign error cannot cancel out.
+    from pygeodatacrawler_spark.functions.geo import reproject_bounds
+
+    part = _table(spark, sf_dir, "part")
+    lon = (F.lit(12.0) + (F.col("p_partkey") % 40) * 0.125).cast("double")
+    lat = (F.lit(-80.0) + (F.col("p_partkey") % 321) * 0.5).cast("double")
+    fwd = reproject_bounds(lon, lat, lon + 0.25, lat + 0.25, 4326, 32633)
+    inv = reproject_bounds(
+        F.element_at(fwd, 1), F.element_at(fwd, 2),
+        F.element_at(fwd, 3), F.element_at(fwd, 4),
+        32633, 4326,
+    )
+    cn = reproject_bounds(
+        F.lit(-79.387139), F.lit(43.642567),
+        F.lit(-79.387139), F.lit(43.642567),
+        4326, 32617,
+    )
+    return part.select(
+        "p_partkey",
+        (F.round(F.element_at(inv, 1), 6) + 0.0).alias("rlon0"),
+        (F.round(F.element_at(inv, 2), 6) + 0.0).alias("rlat0"),
+        (F.round(F.element_at(inv, 3), 6) + 0.0).alias("rlon1"),
+        (F.round(F.element_at(inv, 4), 6) + 0.0).alias("rlat1"),
+        F.round(F.element_at(cn, 1), 2).alias("cn_e"),
+        F.round(F.element_at(cn, 2), 2).alias("cn_n"),
+    )
+
+
+SQL_REPROJECT_UTM = """
+select p_partkey,
+       12.0 + (p_partkey % 40) * 0.125 as rlon0,
+       -80.0 + (p_partkey % 321) * 0.5 as rlat0,
+       12.25 + (p_partkey % 40) * 0.125 as rlon1,
+       -79.75 + (p_partkey % 321) * 0.5 as rlat1,
+       630084.30 as cn_e,
+       4833438.59 as cn_n
+from part
+"""
 
 
 SQL_REPROJECT = """
@@ -1792,6 +1937,7 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "style_classes": q_style_classes,
         "crs_codes": q_crs_codes,
         "reproject_bounds": q_reproject_bounds,
+        "reproject_utm": q_reproject_utm,
         "dc_normalize": q_dc_normalize,
         "token_stats": q_token_stats,
         "seen_filter_bloom": q_seen_filter_bloom,
@@ -1848,6 +1994,7 @@ def all_oracle_sql() -> dict[str, str]:
         "style_classes": SQL_STYLE_CLASSES,
         "crs_codes": SQL_CRS_CODES,
         "reproject_bounds": SQL_REPROJECT,
+        "reproject_utm": SQL_REPROJECT_UTM,
         "dc_normalize": SQL_DC_NORMALIZE,
         "token_stats": _sql_token_stats(),
         "seen_filter_bloom": SQL_SEEN_FILTER,

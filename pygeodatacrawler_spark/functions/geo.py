@@ -17,10 +17,21 @@ implements the pure-math subset as JVM-side Column expressions:
   matching ``GetAuthorityCode(None)``; we therefore take the last
   regex match, not the first. Unrecognised input -> '' like the
   reference's failure path.
+- ``crs2code`` fuzzy fallback: the reference's ``FindMatches`` path
+  (utils.py:219-227 — OSR fuzzy-matches a WKT with no authority nodes
+  and accepts candidates with >=50% confidence) re-expressed as an
+  embedded registry of ~50 common EPSG CRS/datum names: the
+  normalized CRS text must CONTAIN a full registry name (the
+  high-confidence analog of the >=50% contract — a whole-name hit,
+  never a token overlap), most-specific (longest) name wins, plus
+  generic UTM-zone patterns. Authority nodes always take precedence,
+  mirroring AutoIdentifyEPSG running before FindMatches.
 - ``reproject_bounds``: the EPSG:4326 <-> EPSG:3857 (spherical web
-  mercator) transform pair as closed-form Column math — the one
-  transform the reference applies in practice (mapfile extents to web
-  mercator). Other CRS pairs raise, explicitly.
+  mercator) pair AND the 4326 <-> UTM family (EPSG 326xx/327xx WGS84,
+  258xx ETRS89, 269xx NAD83) via the standard transverse-mercator
+  series (Snyder 1987, eqs 3-21/8-9..8-17; the same truncation proj's
+  default tmerc uses — sub-mm inside a zone) as closed-form Column
+  math. Other CRS pairs raise, explicitly.
 
 Everything here is whole-stage-codegen'd (regexp + trig built-ins, no
 UDF) and oracle-portable: DuckDB evaluates the same regexes and the
@@ -56,12 +67,83 @@ def _last_match(crs: Column, pattern: str) -> Column:
     )
 
 
+# fuzzy registry: (EPSG code, normalized CRS/datum names). Matching is
+# whole-name containment on the normalized input (lowercase, '_' -> ' ',
+# whitespace collapsed); the chain below sorts by name length so the
+# most specific name wins ('amersfoort / rd new' before 'amersfoort') —
+# the analog of taking OSR FindMatches' best >=50%-confidence candidate.
+_FUZZY_NAMES: list[tuple[int, str]] = [
+    (4326, "wgs 84"), (4326, "wgs84"), (4326, "wgs 1984"),
+    (4326, "world geodetic system 1984"),
+    (3857, "pseudo mercator"), (3857, "web mercator"),
+    (3857, "popular visualisation crs"),
+    (4258, "etrs89"), (4258, "etrs 89"),
+    (4258, "european terrestrial reference system 1989"),
+    (4269, "nad83"), (4269, "north american datum 1983"),
+    (4267, "nad27"), (4267, "north american datum 1927"),
+    (4230, "ed50"), (4230, "european datum 1950"),
+    (4284, "pulkovo 1942"),
+    (2056, "ch1903+ / lv95"), (21781, "ch1903 / lv03"), (4149, "ch1903"),
+    (28992, "amersfoort / rd new"), (28992, "rd new"), (4289, "amersfoort"),
+    (27700, "osgb 1936 / british national grid"),
+    (27700, "british national grid"), (4277, "osgb 1936"), (4277, "osgb36"),
+    (2154, "rgf93 / lambert 93"), (2154, "lambert 93"), (4171, "rgf93"),
+    (3035, "laea europe"), (3034, "lcc europe"),
+    (31370, "belgian lambert 72"), (4313, "belge 1972"),
+    (5514, "s jtsk / krovak east north"), (4156, "s jtsk"),
+    (3577, "gda94 / australian albers"), (4283, "gda94"),
+    (2193, "new zealand transverse mercator"), (4167, "nzgd2000"),
+    (5070, "nad83 / conus albers"),
+    (4674, "sirgas 2000"), (4618, "sad69"),
+    (4301, "tokyo"), (4612, "jgd2000"), (4668, "jgd2011"),
+    (4490, "cgcs2000"),
+    (102100, "esri web mercator"),
+]
+
+# generic zone families: normalized-name regex with the zone number as
+# group 1, EPSG code = base + zone
+_FUZZY_ZONES: list[tuple[str, int]] = [
+    (r"wgs 84 / utm zone (\d{1,2})n", 32600),
+    (r"wgs 84 / utm zone (\d{1,2})s", 32700),
+    (r"etrs89 / utm zone (\d{1,2})n", 25800),
+    (r"nad83 / utm zone (\d{1,2})n", 26900),
+    (r"sirgas 2000 / utm zone (\d{1,2})s", 31960),
+    (r"gda94 / mga zone (\d{1,2})", 28300),
+]
+
+
+def _normalize_crs_text(crs: Column) -> Column:
+    s = F.lower(F.regexp_replace(crs, r"[_\s]+", " "))
+    return F.trim(F.regexp_replace(s, r"\s*/\s*", " / "))
+
+
+def crs2code_fuzzy(crs: Column) -> Column:
+    """FindMatches subset (utils.py:219-227): EPSG code recovered from
+    well-known CRS/datum NAMES when no authority node exists. NULL when
+    nothing matches (callers coalesce to '')."""
+    s = _normalize_crs_text(crs)
+    branches = []
+    for pattern, base in _FUZZY_ZONES:
+        zone = F.regexp_extract(s, pattern, 1)
+        branches.append(
+            F.when(
+                zone != "",
+                F.concat(F.lit("EPSG:"), (F.lit(base) + zone.cast("int")).cast("string")),
+            )
+        )
+    for code, name in sorted(_FUZZY_NAMES, key=lambda t: -len(t[1])):
+        branches.append(F.when(s.contains(name), F.lit(f"EPSG:{code}")))
+    return F.coalesce(*branches)
+
+
 def crs2code(crs: Column) -> Column:
     """Authority code ('EPSG:4326') from a CRS string, '' if unknown.
 
     Mirrors crs2code's contract (utils.py:207-229): authoritative
-    ``AUTH:code`` when identifiable, empty string otherwise (including
-    null input — the reference returns '' for None).
+    ``AUTH:code`` when identifiable; otherwise the FindMatches-style
+    fuzzy name lookup (>=50%-confidence analog: whole-registry-name
+    containment); empty string when neither applies (including null
+    input — the reference returns '' for None).
     """
     s = F.trim(crs)
     plain = F.when(
@@ -81,6 +163,7 @@ def crs2code(crs: Column) -> Column:
         # WKT2 before WKT1: a WKT2 string may embed no AUTHORITY nodes
         _last_match(s, _WKT2),
         _last_match(s, _WKT1),
+        crs2code_fuzzy(s),
         F.lit(""),
     )
 
@@ -103,6 +186,122 @@ def _inv_lat(y: Column) -> Column:
     return F.degrees(2 * F.atan(F.exp(y / WEB_MERCATOR_R)) - F.pi() / 2)
 
 
+# -- transverse mercator (UTM family) ---------------------------------------
+
+_WGS84 = (6378137.0, 1.0 / 298.257223563)
+_GRS80 = (6378137.0, 1.0 / 298.257222101)
+TM_K0 = 0.9996
+TM_FE = 500000.0
+
+
+def utm_params(code: int) -> tuple[float, float, float, float] | None:
+    """(a, f, lon0_deg, false_northing) for an EPSG UTM code, else None.
+
+    Families: 326xx WGS84 N, 327xx WGS84 S, 258xx ETRS89/GRS80 N,
+    269xx NAD83/GRS80 N — the zones the reference reaches via proj.
+    """
+    if 32601 <= code <= 32660:
+        zone, south, (a, f) = code - 32600, False, _WGS84
+    elif 32701 <= code <= 32760:
+        zone, south, (a, f) = code - 32700, True, _WGS84
+    elif 25828 <= code <= 25838:
+        zone, south, (a, f) = code - 25800, False, _GRS80
+    elif 26901 <= code <= 26923:
+        zone, south, (a, f) = code - 26900, False, _GRS80
+    else:
+        return None
+    return a, f, float(zone * 6 - 183), 10000000.0 if south else 0.0
+
+
+def tm_forward(
+    lon: Column, lat: Column, a: float, f: float, lon0: float, fn: float
+) -> tuple[Column, Column]:
+    """Geographic -> transverse-mercator easting/northing (Snyder 1987
+    eqs 8-9..8-15 + 3-21 for M): the series proj's default tmerc
+    matches to sub-mm inside a UTM zone."""
+    e2 = f * (2 - f)
+    e4, e6 = e2 * e2, e2 * e2 * e2
+    ep2 = e2 / (1 - e2)
+    phi = F.radians(lat)
+    dlam = F.radians(lon - F.lit(lon0))
+    sinp, cosp, tanp = F.sin(phi), F.cos(phi), F.tan(phi)
+    n_rad = a / F.sqrt(1 - e2 * sinp * sinp)
+    t = tanp * tanp
+    c = ep2 * cosp * cosp
+    aa = dlam * cosp
+    m = a * (
+        (1 - e2 / 4 - 3 * e4 / 64 - 5 * e6 / 256) * phi
+        - (3 * e2 / 8 + 3 * e4 / 32 + 45 * e6 / 1024) * F.sin(2 * phi)
+        + (15 * e4 / 256 + 45 * e6 / 1024) * F.sin(4 * phi)
+        - (35 * e6 / 3072) * F.sin(6 * phi)
+    )
+    x = TM_FE + TM_K0 * n_rad * (
+        aa
+        + (1 - t + c) * aa**3 / 6
+        + (5 - 18 * t + t * t + 72 * c - 58 * ep2) * aa**5 / 120
+    )
+    y = fn + TM_K0 * (
+        m
+        + n_rad
+        * tanp
+        * (
+            aa * aa / 2
+            + (5 - t + 9 * c + 4 * c * c) * aa**4 / 24
+            + (61 - 58 * t + t * t + 600 * c - 330 * ep2) * aa**6 / 720
+        )
+    )
+    return x, y
+
+
+def tm_inverse(
+    x: Column, y: Column, a: float, f: float, lon0: float, fn: float
+) -> tuple[Column, Column]:
+    """Transverse-mercator -> geographic (Snyder eqs 8-16..8-25)."""
+    import math
+
+    e2 = f * (2 - f)
+    e4, e6 = e2 * e2, e2 * e2 * e2
+    ep2 = e2 / (1 - e2)
+    e1 = (1 - math.sqrt(1 - e2)) / (1 + math.sqrt(1 - e2))
+    m = (y - F.lit(fn)) / TM_K0
+    mu = m / (a * (1 - e2 / 4 - 3 * e4 / 64 - 5 * e6 / 256))
+    phi1 = (
+        mu
+        + (3 * e1 / 2 - 27 * e1**3 / 32) * F.sin(2 * mu)
+        + (21 * e1**2 / 16 - 55 * e1**4 / 32) * F.sin(4 * mu)
+        + (151 * e1**3 / 96) * F.sin(6 * mu)
+        + (1097 * e1**4 / 512) * F.sin(8 * mu)
+    )
+    sin1, cos1, tan1 = F.sin(phi1), F.cos(phi1), F.tan(phi1)
+    c1 = ep2 * cos1 * cos1
+    t1 = tan1 * tan1
+    n1 = a / F.sqrt(1 - e2 * sin1 * sin1)
+    r1 = a * (1 - e2) / F.pow(1 - e2 * sin1 * sin1, 1.5)
+    d = (x - TM_FE) / (n1 * TM_K0)
+    lat = F.degrees(
+        phi1
+        - (n1 * tan1 / r1)
+        * (
+            d * d / 2
+            - (5 + 3 * t1 + 10 * c1 - 4 * c1 * c1 - 9 * ep2) * d**4 / 24
+            + (61 + 90 * t1 + 298 * c1 + 45 * t1 * t1 - 252 * ep2 - 3 * c1 * c1)
+            * d**6
+            / 720
+        )
+    )
+    lon = F.lit(lon0) + F.degrees(
+        (
+            d
+            - (1 + 2 * t1 + c1) * d**3 / 6
+            + (5 - 2 * c1 + 28 * t1 - 3 * c1 * c1 + 8 * ep2 + 24 * t1 * t1)
+            * d**5
+            / 120
+        )
+        / cos1
+    )
+    return lon, lat
+
+
 def reproject_bounds(
     minx: Column, miny: Column, maxx: Column, maxy: Column,
     source: int = 4326, target: int = 3857,
@@ -111,8 +310,9 @@ def reproject_bounds(
 
     Transforms the two corner points like reprojectBounds
     (utils.py:240-256: TransformPoint on (minx,miny) and (maxx,maxy)
-    with traditional GIS axis order). Supported pairs: 4326<->3857
-    closed-form; identity for source==target.
+    with traditional GIS axis order). Supported pairs: 4326<->3857 and
+    4326<->UTM (:func:`utm_params` families) closed-form; identity for
+    source==target. Other pairs raise, explicitly.
     """
     if source == target:
         return F.array(
@@ -125,7 +325,15 @@ def reproject_bounds(
         return F.array(
             _inv_lon(minx), _inv_lat(miny), _inv_lon(maxx), _inv_lat(maxy)
         )
+    if source == 4326 and (p := utm_params(target)) is not None:
+        x0, y0 = tm_forward(minx, miny, *p)
+        x1, y1 = tm_forward(maxx, maxy, *p)
+        return F.array(x0, y0, x1, y1)
+    if target == 4326 and (p := utm_params(source)) is not None:
+        lon0, lat0 = tm_inverse(minx, miny, *p)
+        lon1, lat1 = tm_inverse(maxx, maxy, *p)
+        return F.array(lon0, lat0, lon1, lat1)
     raise ValueError(
-        f"unsupported CRS pair {source}->{target}; "
-        "closed-form subset is 4326<->3857 (no GDAL in this environment)"
+        f"unsupported CRS pair {source}->{target}; closed-form subset is "
+        "4326<->3857 and 4326<->UTM (no GDAL in this environment)"
     )

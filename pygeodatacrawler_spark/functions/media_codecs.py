@@ -1,0 +1,340 @@
+"""Dependency-free media decoders: GeoTIFF headers and XLSX properties.
+
+Round-2 shipped the multimodal plumbing with a documented fake decode
+because the sandbox lacks GDAL/openpyxl. These are the real parses for
+the two formats that need no native libraries at all:
+
+- **GeoTIFF** (S4): the raster facts the reference pulls from
+  ``gdal.Open`` (/root/reference/geodatacrawler/utils.py:59-116) —
+  width/height (TIFF tags 256/257), band count (277), the
+  geotransform from ModelTiepoint+ModelPixelScale (33922/33550), the
+  CRS from the GeoKeyDirectory (34735: GeographicType/ProjectedCSType
+  geokeys), GDAL_NODATA (42113) — are plain struct-unpacking of the
+  TIFF IFD; no pixel decode is needed because the reference's bounds
+  math (utils.py:67-70) only uses the geotransform:
+  ``lrx = ulx + XSize*xres; lry = uly + YSize*yres;
+  bounds = [ulx, lry, lrx, uly]``.
+- **XLSX** (S6): the reference's ``parseExcel`` returns
+  ``load_workbook(file).properties.__dict__`` (utils.py:416-423);
+  xlsx is a zip of XML, so docProps/core.xml (Dublin-Core properties,
+  the same fields openpyxl exposes) and xl/workbook.xml (sheet names)
+  parse with stdlib zipfile+ElementTree.
+
+Each decoder has an ``encode_*_fixture`` twin that synthesizes valid
+bytes from scalar inputs, so tests and the DuckDB oracle can assert
+``decode(encode(x)) == x`` end-to-end through the binary column.
+Decoders are total: malformed payloads return ``None`` fields, never
+raise (a crawl must survive a truncated download).
+"""
+
+from __future__ import annotations
+
+import io
+import struct
+import zipfile
+from xml.etree import ElementTree as ET
+
+# -- GeoTIFF ----------------------------------------------------------------
+
+_TIFF_TYPE_SIZES = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8, 12: 8}
+_T_ASCII, _T_SHORT, _T_LONG, _T_DOUBLE = 2, 3, 4, 12
+
+_TAG_WIDTH = 256
+_TAG_HEIGHT = 257
+_TAG_SAMPLES = 277
+_TAG_PIXEL_SCALE = 33550
+_TAG_TIEPOINT = 33922
+_TAG_GEOKEYS = 34735
+_TAG_GDAL_NODATA = 42113
+
+_GEOKEY_MODEL_TYPE = 1024
+_GEOKEY_GEOGRAPHIC = 2048
+_GEOKEY_PROJECTED = 3072
+
+
+def decode_geotiff(payload: bytes | None) -> dict:
+    """TIFF IFD -> raster metadata; pure function of the bytes.
+
+    Returns width, height, n_bands, epsg ('EPSG:nnnn' or None), nodata,
+    and bounds [minx, miny, maxx, maxy] via the reference's
+    geotransform math. Handles II and MM byte orders, inline and
+    offset-stored values. Malformed input -> all-None fields.
+    """
+    none = {
+        "width": None, "height": None, "n_bands": None,
+        "epsg": None, "nodata": None, "bounds": None,
+    }
+    if not payload or len(payload) < 8:
+        return none
+    try:
+        bo = {b"II": "<", b"MM": ">"}.get(payload[:2])
+        if bo is None or struct.unpack(bo + "H", payload[2:4])[0] != 42:
+            return none
+        (ifd_off,) = struct.unpack(bo + "I", payload[4:8])
+        (n_entries,) = struct.unpack(bo + "H", payload[ifd_off : ifd_off + 2])
+        tags: dict[int, tuple] = {}
+        for i in range(n_entries):
+            off = ifd_off + 2 + 12 * i
+            tag, typ, cnt = struct.unpack(bo + "HHI", payload[off : off + 8])
+            size = _TIFF_TYPE_SIZES.get(typ, 0) * cnt
+            if size == 0:
+                continue
+            if size <= 4:
+                raw = payload[off + 8 : off + 8 + size]
+            else:
+                (voff,) = struct.unpack(bo + "I", payload[off + 8 : off + 12])
+                raw = payload[voff : voff + size]
+            if typ == _T_SHORT:
+                tags[tag] = struct.unpack(bo + f"{cnt}H", raw)
+            elif typ == _T_LONG:
+                tags[tag] = struct.unpack(bo + f"{cnt}I", raw)
+            elif typ == _T_DOUBLE:
+                tags[tag] = struct.unpack(bo + f"{cnt}d", raw)
+            elif typ == _T_ASCII:
+                tags[tag] = (raw.rstrip(b"\x00").decode("ascii", "replace"),)
+
+        width = int(tags[_TAG_WIDTH][0]) if _TAG_WIDTH in tags else None
+        height = int(tags[_TAG_HEIGHT][0]) if _TAG_HEIGHT in tags else None
+        n_bands = int(tags[_TAG_SAMPLES][0]) if _TAG_SAMPLES in tags else 1
+
+        epsg = None
+        if _TAG_GEOKEYS in tags:
+            gk = tags[_TAG_GEOKEYS]
+            n_keys = int(gk[3])
+            keys = {
+                int(gk[4 + 4 * k]): int(gk[7 + 4 * k])
+                for k in range(n_keys)
+                if int(gk[5 + 4 * k]) == 0  # value stored inline
+            }
+            code = keys.get(_GEOKEY_PROJECTED) or keys.get(_GEOKEY_GEOGRAPHIC)
+            if code:
+                epsg = f"EPSG:{code}"
+
+        nodata = None
+        if _TAG_GDAL_NODATA in tags:
+            try:
+                nodata = float(tags[_TAG_GDAL_NODATA][0])
+            except ValueError:
+                nodata = None
+
+        bounds = None
+        if (
+            _TAG_PIXEL_SCALE in tags
+            and _TAG_TIEPOINT in tags
+            and width is not None
+            and height is not None
+        ):
+            sx, sy = tags[_TAG_PIXEL_SCALE][0], tags[_TAG_PIXEL_SCALE][1]
+            tp = tags[_TAG_TIEPOINT]
+            # GDAL geotransform from a raster->model tiepoint + scale:
+            # ulx/uly are the tiepoint pulled back to pixel (0,0);
+            # yres is negative (north-up), matching gdal.GetGeoTransform
+            ulx = tp[3] - tp[0] * sx
+            uly = tp[4] + tp[1] * sy
+            xres, yres = sx, -sy
+            # reference bounds math (utils.py:67-70, 92)
+            lrx = ulx + width * xres
+            lry = uly + height * yres
+            bounds = [float(ulx), float(lry), float(lrx), float(uly)]
+
+        return {
+            "width": width, "height": height, "n_bands": n_bands,
+            "epsg": epsg, "nodata": nodata, "bounds": bounds,
+        }
+    except (struct.error, IndexError, KeyError):
+        return none
+
+
+def encode_geotiff_fixture(
+    width: int,
+    height: int,
+    n_bands: int = 1,
+    ulx: float = 0.0,
+    uly: float = 0.0,
+    xres: float = 1.0,
+    yres: float = -1.0,
+    epsg: int | None = 4326,
+    projected: bool = False,
+    nodata: float | None = None,
+    byte_order: str = "<",
+) -> bytes:
+    """Minimal valid GeoTIFF header bytes (no pixel data) for fixtures."""
+    bo = byte_order
+    entries: list[tuple[int, int, int, bytes]] = [
+        (_TAG_WIDTH, _T_LONG, 1, struct.pack(bo + "I", width)),
+        (_TAG_HEIGHT, _T_LONG, 1, struct.pack(bo + "I", height)),
+        (_TAG_SAMPLES, _T_SHORT, 1, struct.pack(bo + "H", n_bands)),
+        (
+            _TAG_PIXEL_SCALE, _T_DOUBLE, 3,
+            struct.pack(bo + "3d", xres, -yres, 0.0),
+        ),
+        (
+            _TAG_TIEPOINT, _T_DOUBLE, 6,
+            struct.pack(bo + "6d", 0.0, 0.0, 0.0, ulx, uly, 0.0),
+        ),
+    ]
+    if epsg is not None:
+        key_id = _GEOKEY_PROJECTED if projected else _GEOKEY_GEOGRAPHIC
+        model = 1 if projected else 2
+        gk = (1, 1, 0, 2, _GEOKEY_MODEL_TYPE, 0, 1, model, key_id, 0, 1, epsg)
+        entries.append(
+            (_TAG_GEOKEYS, _T_SHORT, len(gk), struct.pack(bo + f"{len(gk)}H", *gk))
+        )
+    if nodata is not None:
+        s = f"{nodata:g}".encode("ascii") + b"\x00"
+        entries.append((_TAG_GDAL_NODATA, _T_ASCII, len(s), s))
+
+    entries.sort(key=lambda e: e[0])  # TIFF requires ascending tag order
+    ifd_off = 8
+    data_off = ifd_off + 2 + 12 * len(entries) + 4
+    out = io.BytesIO()
+    out.write((b"II" if bo == "<" else b"MM") + struct.pack(bo + "HI", 42, ifd_off))
+    out.write(struct.pack(bo + "H", len(entries)))
+    tail = b""
+    for tag, typ, cnt, raw in entries:
+        out.write(struct.pack(bo + "HHI", tag, typ, cnt))
+        if len(raw) <= 4:
+            out.write(raw.ljust(4, b"\x00"))
+        else:
+            out.write(struct.pack(bo + "I", data_off + len(tail)))
+            tail += raw
+    out.write(struct.pack(bo + "I", 0))  # next-IFD pointer: none
+    out.write(tail)
+    return out.getvalue()
+
+
+# -- XLSX -------------------------------------------------------------------
+
+_NS_CP = "http://schemas.openxmlformats.org/package/2006/metadata/core-properties"
+_NS_DC = "http://purl.org/dc/elements/1.1/"
+_NS_DCT = "http://purl.org/dc/terms/"
+_NS_MAIN = "http://schemas.openxmlformats.org/spreadsheetml/2006/main"
+_NS_CT = "http://schemas.openxmlformats.org/package/2006/content-types"
+_NS_REL = "http://schemas.openxmlformats.org/package/2006/relationships"
+
+
+def decode_xlsx(payload: bytes | None) -> dict:
+    """docProps/core.xml + xl/workbook.xml -> the properties subset the
+    reference reads off ``load_workbook(file).properties.__dict__``
+    (utils.py:416-423). Malformed/absent parts -> None fields."""
+    out = {
+        "title": None, "creator": None, "subject": None,
+        "description": None, "keywords": None, "lastModifiedBy": None,
+        "created": None, "modified": None, "sheets": None,
+    }
+    if not payload:
+        return out
+    try:
+        zf = zipfile.ZipFile(io.BytesIO(payload))
+    except (zipfile.BadZipFile, OSError):
+        return out
+    with zf:
+        names = set(zf.namelist())
+        if "docProps/core.xml" in names:
+            try:
+                root = ET.fromstring(zf.read("docProps/core.xml"))
+                fields = {
+                    "title": f"{{{_NS_DC}}}title",
+                    "creator": f"{{{_NS_DC}}}creator",
+                    "subject": f"{{{_NS_DC}}}subject",
+                    "description": f"{{{_NS_DC}}}description",
+                    "keywords": f"{{{_NS_CP}}}keywords",
+                    "lastModifiedBy": f"{{{_NS_CP}}}lastModifiedBy",
+                    "created": f"{{{_NS_DCT}}}created",
+                    "modified": f"{{{_NS_DCT}}}modified",
+                }
+                for key, tag in fields.items():
+                    el = root.find(tag)
+                    if el is not None and el.text:
+                        out[key] = el.text
+            except ET.ParseError:
+                pass
+        if "xl/workbook.xml" in names:
+            try:
+                root = ET.fromstring(zf.read("xl/workbook.xml"))
+                out["sheets"] = [
+                    s.get("name") or ""
+                    for s in root.iter(f"{{{_NS_MAIN}}}sheet")
+                ]
+            except ET.ParseError:
+                pass
+    return out
+
+
+def encode_xlsx_fixture(
+    title: str | None = None,
+    creator: str | None = None,
+    subject: str | None = None,
+    description: str | None = None,
+    keywords: str | None = None,
+    sheets: list[str] | None = None,
+    created: str = "2024-01-01T00:00:00Z",
+) -> bytes:
+    """Minimal xlsx zip (core props + workbook) for fixtures/oracles."""
+    sheets = sheets if sheets is not None else ["Sheet1"]
+
+    def _el(tag: str, text: str | None) -> str:
+        if text is None:
+            return ""
+        name = tag.split("}")[-1]
+        pre = {"title": "dc", "creator": "dc", "subject": "dc",
+               "description": "dc", "keywords": "cp",
+               "created": "dcterms", "modified": "dcterms"}[name]
+        extra = ' xsi:type="dcterms:W3CDTF"' if pre == "dcterms" else ""
+        esc = (
+            text.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+        )
+        return f"<{pre}:{name}{extra}>{esc}</{pre}:{name}>"
+
+    core = (
+        '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+        f'<cp:coreProperties xmlns:cp="{_NS_CP}" xmlns:dc="{_NS_DC}" '
+        f'xmlns:dcterms="{_NS_DCT}" '
+        'xmlns:xsi="http://www.w3.org/2001/XMLSchema-instance">'
+        + _el("title", title) + _el("creator", creator)
+        + _el("subject", subject) + _el("description", description)
+        + _el("keywords", keywords) + _el("created", created)
+        + "</cp:coreProperties>"
+    )
+    sheet_xml = "".join(
+        f'<sheet name="{s}" sheetId="{i + 1}" r:id="rId{i + 1}"/>'
+        for i, s in enumerate(sheets)
+    )
+    workbook = (
+        '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+        f'<workbook xmlns="{_NS_MAIN}" xmlns:r='
+        '"http://schemas.openxmlformats.org/officeDocument/2006/relationships">'
+        f"<sheets>{sheet_xml}</sheets></workbook>"
+    )
+    content_types = (
+        '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+        f'<Types xmlns="{_NS_CT}">'
+        '<Default Extension="xml" ContentType="application/xml"/>'
+        '<Override PartName="/xl/workbook.xml" ContentType="application/vnd.'
+        'openxmlformats-officedocument.spreadsheetml.sheet.main+xml"/>'
+        '<Override PartName="/docProps/core.xml" ContentType="application/vnd.'
+        'openxmlformats-package.core-properties+xml"/>'
+        "</Types>"
+    )
+    rels = (
+        '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+        f'<Relationships xmlns="{_NS_REL}">'
+        '<Relationship Id="rId1" Type="http://schemas.openxmlformats.org/'
+        'officeDocument/2006/relationships/officeDocument" Target="xl/workbook.xml"/>'
+        '<Relationship Id="rId2" Type="http://schemas.openxmlformats.org/'
+        'package/2006/relationships/metadata/core-properties" '
+        'Target="docProps/core.xml"/>'
+        "</Relationships>"
+    )
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w", zipfile.ZIP_DEFLATED) as zf:
+        # fixed date_time: fixture bytes are a pure function of inputs
+        for name, data in [
+            ("[Content_Types].xml", content_types),
+            ("_rels/.rels", rels),
+            ("docProps/core.xml", core),
+            ("xl/workbook.xml", workbook),
+        ]:
+            zi = zipfile.ZipInfo(name, date_time=(1980, 1, 1, 0, 0, 0))
+            zf.writestr(zi, data)
+    return buf.getvalue()

@@ -105,29 +105,3 @@ def extract_pages_batches(
 EXTRACT_SCHEMA = (
     "url string, text string, links array<string>, n_bytes long"
 )
-
-
-def stub_decode_media(payload: bytes, media_type: str) -> dict:
-    """Placeholder for image/audio/video decode (libs absent in sandbox).
-
-    The Spark-side plumbing (binary column in, typed struct out, batch
-    shape) is real and tested via the deterministic fake below; a real
-    deployment replaces the body with PIL/ffmpeg calls.
-    """
-    raise NotImplementedError(
-        "media decode requires imaging/audio libraries not present in this "
-        "environment; use fake_decode_media for plumbing tests"
-    )
-
-
-def fake_decode_media(payload: bytes | None, media_type: str) -> dict:
-    """Deterministic fake decode: derives metadata purely from the bytes."""
-    if payload is None:
-        return {"media_type": media_type, "n_bytes": 0, "width": None, "height": None}
-    n = len(payload)
-    return {
-        "media_type": media_type,
-        "n_bytes": n,
-        "width": (n % 640) + 1,
-        "height": (n % 480) + 1,
-    }

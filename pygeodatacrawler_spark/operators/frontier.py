@@ -99,7 +99,10 @@ def pick_batch(
 
 
 def repartition_for_fetch(
-    batch: DataFrame, num_partitions: int | None = None
+    batch: DataFrame,
+    num_partitions: int | None = None,
+    est_rows: int | None = None,
+    rows_per_task: int = 256,
 ) -> DataFrame:
     """Pin partitions before the CPU-bound extract UDF.
 
@@ -107,9 +110,21 @@ def repartition_for_fetch(
     tiny batches onto 1-2 tasks and serialize the Python workers. 3x the
     core count, not 1x: with one task per core a single straggler host
     leaves cores idle at the stage tail (measured 2x on extract).
+
+    ``est_rows`` (the engine passes the previous round's batch size —
+    already known from parquet footers, no extra job) scales the width
+    DOWN for small rounds: 96 tasks of ~15 URLs each are pure
+    scheduling overhead and measurably anti-scale the loop at high core
+    counts; the floor of one task per core keeps every core fed, the
+    3x-cores ceiling keeps straggler smoothing for big rounds.
     Expects a ``salt`` column (0 for unsalted hosts)."""
+    cores = batch.sparkSession.sparkContext.defaultParallelism
     if num_partitions is None:
-        num_partitions = 3 * batch.sparkSession.sparkContext.defaultParallelism
+        num_partitions = 3 * cores
+        if est_rows is not None:
+            num_partitions = max(
+                cores, min(3 * cores, est_rows // rows_per_task + 1)
+            )
     return batch.repartition(num_partitions, "registered_domain", "salt")
 
 

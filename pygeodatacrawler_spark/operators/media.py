@@ -1,11 +1,21 @@
-"""Multimodal columns: opaque binary payloads + typed metadata.
+"""Multimodal columns: opaque binary payloads + typed metadata (S4/S6).
 
-Images/audio/video travel as BinaryType columns; decode/feature-extract
-runs as Arrow-batched mapInPandas. The decode libraries are absent in
-this environment, so the decode body is the deterministic fake from
-functions/text.py (clearly marked; swap ``fake_decode_media`` for a
-PIL/ffmpeg implementation in production) — the Spark-side plumbing
-(schema, batch shape, partitioning) is real and tested.
+Images/rasters/spreadsheets travel as BinaryType columns; decode runs
+as one Arrow-batched mapInPandas pass (map-only, inherits input
+partitioning — payload bytes never shuffle). Two REAL dependency-free
+decoders (functions/media_codecs.py):
+
+- ``image/tiff``  -> GeoTIFF IFD parse: width/height/bands, EPSG from
+  the GeoKeyDirectory, nodata, bounds via the reference's
+  geotransform math (utils.py:59-116);
+- ``application/vnd.openxmlformats-officedocument.spreadsheetml.sheet``
+  -> core properties + sheet list, the ``parseExcel`` surface
+  (utils.py:416-423).
+
+Any other media type yields byte-level metadata only (n_bytes; format
+fields null) — an honest "no decoder for this type", not a fake.
+Formats that genuinely need native libs (PNG pixels, audio, video)
+slot in as new branches of ``_DECODERS`` in production.
 """
 
 from __future__ import annotations
@@ -14,19 +24,46 @@ from collections.abc import Iterator
 
 import pandas as pd
 from pyspark.sql import DataFrame
-import pyspark.sql.functions as F
 
-from pygeodatacrawler_spark.functions.text import fake_decode_media
+from pygeodatacrawler_spark.functions.media_codecs import (
+    decode_geotiff,
+    decode_xlsx,
+)
+
+XLSX_TYPE = "application/vnd.openxmlformats-officedocument.spreadsheetml.sheet"
 
 MEDIA_META_SCHEMA = (
-    "media_type string, n_bytes long, width int, height int"
+    "media_type string, n_bytes long, width int, height int, "
+    "n_bands int, epsg string, nodata double, bounds array<double>, "
+    "title string, creator string, keywords string, n_sheets int"
 )
+
+_META_KEYS = [
+    "width", "height", "n_bands", "epsg", "nodata", "bounds",
+    "title", "creator", "keywords", "n_sheets",
+]
+
+
+def _decode_one(payload, media_type: str) -> dict:
+    meta = dict.fromkeys(_META_KEYS)
+    payload = bytes(payload) if payload is not None else None
+    meta["media_type"] = media_type
+    meta["n_bytes"] = 0 if payload is None else len(payload)
+    if media_type == "image/tiff":
+        meta.update(decode_geotiff(payload))
+    elif media_type == XLSX_TYPE:
+        x = decode_xlsx(payload)
+        meta.update(
+            title=x["title"], creator=x["creator"], keywords=x["keywords"],
+            n_sheets=None if x["sheets"] is None else len(x["sheets"]),
+        )
+    return meta
 
 
 def decode_media(
     df: DataFrame, payload_col: str, media_type_col: str, id_col: str
 ) -> DataFrame:
-    """(id, payload binary, media_type) -> id + decoded metadata struct.
+    """(id, payload binary, media_type) -> id + decoded metadata.
 
     One Arrow pass; output partitioning inherits the input (map-only).
     """
@@ -34,10 +71,16 @@ def decode_media(
     def _decode(pdf_iter: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in pdf_iter:
             metas = [
-                fake_decode_media(p, m)
+                _decode_one(p, m)
                 for p, m in zip(pdf[payload_col], pdf[media_type_col])
             ]
-            out = pd.DataFrame(metas)
+            out = pd.DataFrame(
+                metas, columns=["media_type", "n_bytes"] + _META_KEYS
+            )
+            out["n_sheets"] = out["n_sheets"].astype("Int64")
+            out["width"] = out["width"].astype("Int64")
+            out["height"] = out["height"].astype("Int64")
+            out["n_bands"] = out["n_bands"].astype("Int64")
             out.insert(0, id_col, pdf[id_col].values)
             yield out
 

@@ -181,6 +181,7 @@ class CrawlEngine:
         self._bloom_capacity = 0
         self._bloom_pending_delta: int | None = None
         self._bloom_folds = 0
+        self._last_batch: int | None = None
         # resolved-frontier cache, maintained INCREMENTALLY across
         # rounds: applying the committed delta to the cached state
         # (broadcast state-flip + O(batch) union) replaces re-running
@@ -373,7 +374,11 @@ class CrawlEngine:
         )
         if salt_thr is None:
             batch = batch.withColumn("salt", F.lit(0))
-        batch = repartition_for_fetch(batch)
+        # width from last round's batch size (known from footers — no
+        # job); first round falls back to the frontier size bound
+        batch = repartition_for_fetch(
+            batch, est_rows=self._last_batch or self._n_frontier
+        )
         batch = batch.select(*FRONTIER_COLS, "host_rank", "salt").cache()
 
         # fetch (HTTP stand-in): probe the pages store with the batch keys.
@@ -520,6 +525,7 @@ class CrawlEngine:
             records.unpersist()
             return {"round": round_no, "rows_in": 0, "rows_out": 0, "done": True}
         n_records = n_batch
+        self._last_batch = n_batch
         n_parts = len(file_rows)
         skew = max(file_rows) / (n_batch / n_parts)
 

@@ -38,10 +38,34 @@ def test_cascade_match_stages(spark):
 
 
 def test_media_decode_plumbing(spark):
+    from pygeodatacrawler_spark.functions.media_codecs import (
+        encode_geotiff_fixture,
+        encode_xlsx_fixture,
+    )
+    from pygeodatacrawler_spark.operators.media import XLSX_TYPE
+
+    tif = encode_geotiff_fixture(
+        width=64, height=32, n_bands=3, ulx=5.0, uly=52.0,
+        xres=0.5, yres=-0.25, epsg=28992, projected=True, nodata=-9999.0,
+    )
+    xls = encode_xlsx_fixture(title="T", creator="C", sheets=["a", "b"])
     df = spark.createDataFrame(
-        [(1, b"\x01" * 10, "image/png"), (2, None, "audio/wav")],
+        [
+            (1, bytearray(tif), "image/tiff"),
+            (2, bytearray(xls), XLSX_TYPE),
+            (3, b"\x01" * 10, "image/png"),  # no decoder for this type
+            (4, None, "audio/wav"),
+            (5, b"garbage not a tiff", "image/tiff"),
+        ],
         "id long, payload binary, media_type string",
     )
     got = {r["id"]: r for r in decode_media(df, "payload", "media_type", "id").collect()}
-    assert got[1]["n_bytes"] == 10 and got[1]["width"] == 11 and got[1]["height"] == 11
-    assert got[2]["n_bytes"] == 0 and got[2]["width"] is None
+    t = got[1]
+    assert (t["width"], t["height"], t["n_bands"]) == (64, 32, 3)
+    assert t["epsg"] == "EPSG:28992" and t["nodata"] == -9999.0
+    assert list(t["bounds"]) == [5.0, 52.0 - 32 * 0.25, 5.0 + 64 * 0.5, 52.0]
+    x = got[2]
+    assert x["title"] == "T" and x["creator"] == "C" and x["n_sheets"] == 2
+    assert got[3]["n_bytes"] == 10 and got[3]["width"] is None
+    assert got[4]["n_bytes"] == 0 and got[4]["width"] is None
+    assert got[5]["width"] is None  # malformed payload -> None, no raise

@@ -147,3 +147,69 @@ def test_ms_styler_optional_columns(spark):
     assert out[1].s == 'COLOR "#eeeeee"\nOUTLINECOLOR "#232323"\nOUTLINEWIDTH 0.1\n'
     # unknown geomtype renders literal 'None' like the reference f-string
     assert out[2].s == "None"
+
+
+def test_crs_fuzzy_and_utm(spark):
+    import pyspark.sql.functions as F
+
+    from pygeodatacrawler_spark.functions.geo import crs2code, reproject_bounds
+
+    # FindMatches-style fuzzy recovery (utils.py:219-227) on WKT with
+    # no authority nodes; longest registry name wins
+    df = spark.createDataFrame(
+        [
+            ('PROJCS["WGS 84 / UTM zone 33N",GEOGCS["WGS 84",DATUM["WGS_1984"]]]',),
+            ('GEOGCS["WGS 84",DATUM["WGS_1984"]]',),
+            ("Amersfoort / RD New",),
+            ("Amersfoort",),
+            ("ETRS89 / UTM zone 32N",),
+            ("not a known crs",),
+        ],
+        "crs string",
+    )
+    got = [r.code for r in df.select(crs2code(F.col("crs")).alias("code")).collect()]
+    assert got == [
+        "EPSG:32633", "EPSG:4326", "EPSG:28992", "EPSG:4289", "EPSG:25832", "",
+    ]
+
+    # UTM forward pinned on published control points (CN Tower 17N;
+    # central-meridian anchor 33N), inverse closes the roundtrip
+    pt = spark.range(1).select(
+        reproject_bounds(
+            F.lit(-79.387139), F.lit(43.642567), F.lit(15.0), F.lit(0.0),
+            4326, 32617,
+        ).alias("b")
+    ).collect()[0]["b"]
+    assert abs(pt[0] - 630084.30) < 0.05
+    assert abs(pt[1] - 4833438.59) < 0.05
+
+    anchor = spark.range(1).select(
+        reproject_bounds(
+            F.lit(15.0), F.lit(0.0), F.lit(16.0), F.lit(45.0), 4326, 32633
+        ).alias("b")
+    ).collect()[0]["b"]
+    assert abs(anchor[0] - 500000.0) < 1e-6 and abs(anchor[1]) < 1e-6
+
+    rt = spark.range(1).select(
+        reproject_bounds(
+            F.lit(anchor[0]), F.lit(anchor[1]),
+            F.lit(anchor[2]), F.lit(anchor[3]),
+            32633, 4326,
+        ).alias("b")
+    ).collect()[0]["b"]
+    for got_v, want_v in zip(rt, [15.0, 0.0, 16.0, 45.0]):
+        assert abs(got_v - want_v) < 1e-7
+
+    # southern hemisphere false northing
+    s = spark.range(1).select(
+        reproject_bounds(
+            F.lit(151.2153), F.lit(-33.8568), F.lit(151.2153), F.lit(-33.8568),
+            4326, 32756,
+        ).alias("b")
+    ).collect()[0]["b"]
+    assert abs(s[0] - 334900.57) < 0.05 and abs(s[1] - 6252288.75) < 0.05
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        reproject_bounds(F.lit(0), F.lit(0), F.lit(1), F.lit(1), 4326, 2154)

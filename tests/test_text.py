@@ -10,7 +10,6 @@ from pygeodatacrawler_spark.functions.text import (
     extract_links_udf,
     extract_text_py,
     extract_text_udf,
-    fake_decode_media,
 )
 
 HTML = (
@@ -63,11 +62,3 @@ def test_fixture_text_column_is_extractor_output():
         assert p["text"] == extract_text_py(p["html"])
 
 
-def test_fake_media_decode_deterministic():
-    out = fake_decode_media(b"\x00" * 1000, "image/png")
-    assert out == {
-        "media_type": "image/png",
-        "n_bytes": 1000,
-        "width": 361,
-        "height": 41,
-    }
