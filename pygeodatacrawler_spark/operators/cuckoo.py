@@ -274,14 +274,26 @@ def delete_cuckoo(
     deletions: DataFrame,
     hash_col: str = "url_hash",
     n_buckets: int = 64,
+    inserted_keys: DataFrame | None = None,
 ) -> DataFrame:
     """Remove one fingerprint occurrence per deleted key (the operation
     a bloom cannot do). Bucket-co-partitioned like the cogroup probe;
     buckets with no deletions pass through untouched.
 
-    Caveat (inherent to cuckoo filters): deleting a key that was never
-    inserted can evict another key's colliding fingerprint — callers
-    delete only keys previously inserted, as with sidecar cleanup."""
+    Caveat (inherent to cuckoo filters — they store fingerprints, not
+    keys): deleting a key that was never inserted, or the same key in
+    two successive calls, strips a COLLIDING key's fingerprint and
+    breaks the no-false-negative contract. Pass ``inserted_keys`` (the
+    authoritative key table the filter was built from, e.g. the
+    frontier — updated by the caller as keys are removed) and the
+    deletion batch is semi-joined against it first, making unknown and
+    repeated deletions no-ops instead of silent corruption. The
+    semi-join's big side is the deletion batch, key side prunes by the
+    same bucket column downstream."""
+    if inserted_keys is not None:
+        deletions = deletions.join(
+            inserted_keys.select(hash_col).distinct(), hash_col, "left_semi"
+        )
     dels = deletions.withColumn(
         "_bucket", F.pmod(F.col(hash_col), F.lit(n_buckets)).cast("int")
     )

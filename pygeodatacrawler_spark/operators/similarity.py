@@ -71,6 +71,26 @@ def brute_force_topk(
     )
 
 
+def derive_n_planes(
+    n_vectors: int, target_bucket: int = 256, lo: int = 4, hi: int = 24
+) -> int:
+    """Scale-tuned plane count: ~log2(N / target_bucket), clamped.
+
+    At N vectors and b planes, a bucket holds ~N/2^b vectors; within-
+    bucket work is quadratic in that, so the plane count must GROW with
+    the corpus — round-2's fixed default of 4 was a sandbox setting.
+    target_bucket=256 keeps the per-bucket candidate set cheap to score
+    while multi-probe recovers recall (more planes = finer buckets =
+    more probes needed, which multiplies only the broadcast query
+    side). hi=24 caps bucket-id arithmetic far below int overflow.
+    """
+    import math
+
+    if n_vectors <= target_bucket:
+        return lo
+    return max(lo, min(hi, round(math.log2(n_vectors / target_bucket))))
+
+
 def plane_components(n_planes: int, n_dims: int) -> list[list[float]]:
     """Deterministic ±1 hyperplanes from md5("plane{p}:{d}") — computed
     once in Python so engine AND SQL oracle share identical constants."""
@@ -100,19 +120,27 @@ def lsh_bucket(vec: Column, n_planes: int, n_dims: int) -> Column:
 def lsh_probe_buckets(
     vec: Column, n_planes: int, n_dims: int, n_probes: int = 1
 ) -> Column:
-    """Multi-probe bucket list: the home bucket plus, at n_probes=1,
-    every bucket one sign-flip away (Lv et al., "Multi-Probe LSH",
+    """Multi-probe bucket list: the home bucket plus every bucket
+    within ``n_probes`` sign-flips (Lv et al., "Multi-Probe LSH",
     VLDB 2007 — public). Flipping the planes whose dot product is
-    nearest zero first would be the refined order; flipping ALL single
-    planes subsumes that and stays a pure Column expression. Probe
-    fan-out multiplies only the (tiny, broadcast) query side — the
-    corpus is still bucketed exactly once."""
+    nearest zero first would be the refined order; flipping ALL
+    single (and at n_probes=2, all pairs of) planes subsumes that and
+    stays a pure Column expression. Probe fan-out multiplies only the
+    (tiny, broadcast) query side — the corpus is still bucketed
+    exactly once. At 16 planes, Hamming-2 is 137 probes and is what
+    keeps recall >=0.9 on near-neighbors (a cos~0.95 pair agrees with
+    each plane w.p. ~0.9, so ~1.6 of 16 signs flip in expectation)."""
     home = lsh_bucket(vec, n_planes, n_dims)
-    if n_probes <= 0:
-        return F.array(home)
-    return F.array(
-        home, *[home.bitwiseXOR(F.lit(1 << p)) for p in range(n_planes)]
-    )
+    probes = [home]
+    if n_probes >= 1:
+        probes += [home.bitwiseXOR(F.lit(1 << p)) for p in range(n_planes)]
+    if n_probes >= 2:
+        probes += [
+            home.bitwiseXOR(F.lit((1 << p) | (1 << q)))
+            for p in range(n_planes)
+            for q in range(p + 1, n_planes)
+        ]
+    return F.array(*probes)
 
 
 def lsh_topk(
@@ -121,18 +149,22 @@ def lsh_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     k: int = 5,
-    n_planes: int = 4,
+    n_planes: int | None = None,
     n_dims: int = 64,
     n_probes: int = 1,
+    n_vectors: int | None = None,
 ) -> DataFrame:
     """ANN top-k restricted to the query's LSH bucket(s) (approximate).
 
     At scale the corpus bucketing is computed once and written
     partitioned by bucket, so each query probes one partition per probe
-    bucket — partition pruning does the candidate selection. Raise
-    ``n_planes`` (16 planes -> 65k buckets) as the corpus grows and
-    keep recall with Hamming-1 multi-probe instead of fewer planes.
+    bucket — partition pruning does the candidate selection.
+    ``n_planes`` defaults to :func:`derive_n_planes` of the corpus size
+    (pass ``n_vectors`` to avoid the count() job); recall at high plane
+    counts comes from Hamming-1/2 multi-probe, not fewer planes.
     """
+    if n_planes is None:
+        n_planes = derive_n_planes(n_vectors if n_vectors is not None else corpus.count())
     cb = corpus.withColumn("bucket", lsh_bucket(F.col(vec_col), n_planes, n_dims))
     qb = queries.withColumn(
         "bucket",
@@ -167,25 +199,48 @@ def embedding_near_dupes(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     threshold: float = 0.95,
-    n_planes: int = 4,
+    n_planes: int | None = None,
     n_dims: int = 64,
+    n_probes: int = 0,
+    n_vectors: int | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs by embedding cosine >= threshold.
 
     LSH-bucketed self-join: pairs only form inside a bucket, so the
-    shuffle is per-bucket, never the full cross product.
+    shuffle is per-bucket, never the full cross product. ``n_planes``
+    defaults to :func:`derive_n_planes` of the input size (pass
+    ``n_vectors`` to avoid the count() job) so within-bucket pair
+    counts stay ~(target_bucket)^2 as the corpus grows; ``n_probes``
+    > 0 explodes Hamming-near probe buckets on ONE side of the join
+    (pairs deduped) to recover the recall finer buckets cost.
     """
-    b = df.withColumn("bucket", lsh_bucket(F.col(vec_col), n_planes, n_dims)).select(
+    if n_planes is None:
+        n_planes = derive_n_planes(n_vectors if n_vectors is not None else df.count())
+    b = df.select(
         F.col(id_col).alias("id"),
         F.col(vec_col).cast("array<double>").alias("v"),
-        "bucket",
+        lsh_bucket(F.col(vec_col), n_planes, n_dims).alias("bucket"),
+    )
+    probe = df.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).cast("array<double>").alias("v"),
+        F.explode(
+            lsh_probe_buckets(F.col(vec_col), n_planes, n_dims, n_probes)
+        ).alias("bucket"),
     )
     pairs = (
         b.alias("x")
-        .join(b.alias("y"), (F.col("x.bucket") == F.col("y.bucket")) & (F.col("x.id") < F.col("y.id")))
+        .join(
+            probe.alias("y"),
+            (F.col("x.bucket") == F.col("y.bucket"))
+            & (F.col("x.id") < F.col("y.id")),
+        )
         .withColumn("cos_sim", F.round(cosine(F.col("x.v"), F.col("y.v")), 4))
         .filter(F.col("cos_sim") >= threshold)
+        .select(
+            F.col("x.id").alias("id_a"), F.col("y.id").alias("id_b"), "cos_sim"
+        )
     )
-    return pairs.select(
-        F.col("x.id").alias("id_a"), F.col("y.id").alias("id_b"), "cos_sim"
-    )
+    if n_probes > 0:
+        pairs = pairs.dropDuplicates(["id_a", "id_b"])
+    return pairs

@@ -77,3 +77,33 @@ def test_deterministic_bytes(spark):
 def test_backend_policy():
     assert choose_seen_backend(need_delete=False) == "bloom"
     assert choose_seen_backend(need_delete=True) == "cuckoo"
+
+
+def test_delete_guard_ignores_unknown_and_repeat_deletions(spark):
+    # inserted_keys guard: deleting never-inserted keys, or the same
+    # keys twice across calls, must be a no-op — unguarded it would
+    # strip colliding fingerprints and create false negatives.
+    seen = _keys(spark, 0, 2000)
+    filt = build_cuckoo(seen, n_buckets=8).cache()
+
+    unknown = _keys(spark, 50_000, 51_000)  # never inserted
+    filt2 = delete_cuckoo(
+        filt, unknown, n_buckets=8, inserted_keys=seen
+    ).cache()
+    missing = probe_cuckoo(seen, filt2, n_buckets=8).filter(
+        ~F.col("maybe_seen")
+    ).count()
+    assert missing == 0  # nothing was touched
+
+    # first deletion succeeds; the repeat (against the UPDATED key set)
+    # is a no-op instead of corrupting colliding survivors
+    gone = _keys(spark, 0, 500)
+    remaining = _keys(spark, 500, 2000)
+    filt3 = delete_cuckoo(filt2, gone, n_buckets=8, inserted_keys=seen).cache()
+    filt4 = delete_cuckoo(
+        filt3, gone, n_buckets=8, inserted_keys=remaining
+    ).cache()
+    missing_after = probe_cuckoo(remaining, filt4, n_buckets=8).filter(
+        ~F.col("maybe_seen")
+    ).count()
+    assert missing_after == 0

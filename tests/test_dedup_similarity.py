@@ -187,3 +187,59 @@ def test_lsh_topk_multiprobe_recovers_boundary_neighbors(spark):
     assert (exact_bucket & brute) <= (probed & brute)
     assert len(probed & brute) >= len(exact_bucket & brute)
     assert 100 in probed  # planted twin always recovered
+
+
+def test_lsh_recall_derived_planes(spark):
+    # Scale-tuned ANN defaults: 512 vectors in 64 tight clusters of 8.
+    # Recall of the exact top-5 must stay >=0.9 both with the derived
+    # plane count and at 16 planes with Hamming-2 multi-probe (the
+    # production setting for large corpora).
+    import numpy as np
+
+    from pygeodatacrawler_spark.operators.similarity import derive_n_planes
+
+    assert derive_n_planes(100) == 4          # floor
+    assert derive_n_planes(512) == 4
+    assert derive_n_planes(1_000_000) == 12
+    assert derive_n_planes(10**9) == 22
+    assert derive_n_planes(10**12) == 24      # cap
+
+    rng = np.random.RandomState(7)
+    centers = rng.randn(64, 64)
+    rows, vid = [], 0
+    for c in centers:
+        for _ in range(8):
+            v = c + 0.06 * rng.randn(64)
+            rows.append((vid, [float(x) for x in v]))
+            vid += 1
+    vecs = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    queries = vecs.filter(F.col("vec_id") % 8 == 0)
+    truth = {
+        (r["query_id"], r["neighbor_id"])
+        for r in brute_force_topk(vecs, queries, k=5).collect()
+    }
+    assert len(truth) == 64 * 5
+
+    got_derived = {
+        (r["query_id"], r["neighbor_id"])
+        for r in lsh_topk(
+            vecs, queries, k=5, n_vectors=512, n_probes=1
+        ).collect()
+    }
+    assert len(truth & got_derived) / len(truth) >= 0.9
+
+    got16 = {
+        (r["query_id"], r["neighbor_id"])
+        for r in lsh_topk(
+            vecs, queries, k=5, n_planes=16, n_probes=2
+        ).collect()
+    }
+    assert len(truth & got16) / len(truth) >= 0.9
+
+    # near-dup pairs at the derived setting recover the clusters
+    pairs = embedding_near_dupes(
+        vecs, threshold=0.9, n_vectors=512, n_probes=1
+    ).collect()
+    same = sum(1 for r in pairs if r["id_a"] // 8 == r["id_b"] // 8)
+    assert same / (64 * 28) >= 0.9  # 28 in-cluster pairs per cluster
+    assert all(r["id_a"] // 8 == r["id_b"] // 8 for r in pairs)

@@ -95,3 +95,52 @@ def test_seed_ingest_stream(spark, tmp_path):
     eng3 = CrawlEngine(spark, workdir, pages, robots, host_budget=20)
     stats3 = eng3.run(max_rounds=5)
     assert stats3.urls_fetched == 0  # fully converged
+
+
+def test_paginated_csw_filters(spark):
+    # CSW intended-filter semantics (utils.py:385-397): the shorthand
+    # dict maps through filterMapping to PropertyIsEqualTo pairs pushed
+    # into EVERY page request. (The reference's own filter path crashes
+    # on `constraints.push` and never reaches getrecords2 — the bug is
+    # documented, not replicated.)
+    from pygeodatacrawler_spark.sources.paginated import map_csw_filters
+
+    assert map_csw_filters({"any": "soil", "title": "t", "dc:custom": "x"}) == [
+        ("csw:AnyText", "soil"), ("dc:title", "t"), ("dc:custom", "x"),
+    ]
+    assert map_csw_filters(None) == []
+
+    catalog = spark.range(0, 200).select(
+        F.col("id").alias("rec"),
+        F.when(F.col("id") % 4 == 0, "soil").otherwise("water").alias("subject"),
+        F.concat(F.lit("rec-"), F.col("id")).alias("title"),
+    )
+    seen_constraints = []
+
+    def fetch(start: int, pagesize: int, constraints=None):
+        # a CSW applies constraints server-side, then paginates the
+        # MATCHING record stream (startposition counts filtered rows)
+        seen_constraints.append(constraints)
+        page = catalog
+        for key, value in constraints or []:
+            col = {"dc:subject": "subject", "dc:title": "title"}[key]
+            page = page.filter(F.col(col) == value)
+        w_rows = page.orderBy("rec").collect()
+        return spark.createDataFrame(
+            w_rows[start - 1 : start - 1 + pagesize], page.schema
+        ) if w_rows[start - 1 : start - 1 + pagesize] else None
+
+    out = read_paginated(
+        fetch, pagesize=20, maxrecords=45, filters={"keyword": "soil"}
+    )
+    rows = out.collect()
+    assert len(rows) == 45  # cap still applies on the filtered stream
+    assert all(r["subject"] == "soil" for r in rows)
+    # every page request carried the mapped constraint
+    assert all(c == [("dc:subject", "soil")] for c in seen_constraints)
+
+    # exhaustion: only 50 soil records exist
+    out2 = read_paginated(
+        fetch, pagesize=20, maxrecords=500, filters={"keyword": "soil"}
+    )
+    assert out2.count() == 50
