@@ -50,7 +50,7 @@ def pick_batch(
     robots: DataFrame | None = None,
     host_budget: int = DEFAULT_HOST_BUDGET,
     salt_threshold: int | None = None,
-    salt_buckets: int = 8,
+    salt_buckets: int = 64,
 ) -> DataFrame:
     """One round's fetch batch: politeness-filtered, priority-ranked,
     budget-capped per registered_domain.
@@ -85,11 +85,35 @@ def pick_batch(
     )
     if salt_threshold is not None:
         n_host = F.count("*").over(Window.partitionBy("registered_domain"))
+        host_batch = F.least(n_host, F.col("_budget"))
+        # salt width scales with the host's capped batch (one salt
+        # slice ~rows_per_salt rows, capped at salt_buckets): a fixed
+        # 8-way salt left a 50k-URL heavy host in 6k-row straggler
+        # tasks that owned the fetch stage's tail (measured skew ~10 at
+        # 32 cores); sizing the spread to the data keeps the stage
+        # balanced at any budget. (domain, salt) pairs stay atomic, so
+        # politeness co-location is untouched for hosts that need it.
+        # Hosts with NO crawl delay need no co-location at all (pacing
+        # is the only reason to keep a host in one task), so any
+        # delay-free host above a couple of slices is spread too —
+        # without this, each ~2k-row host is an atomic task and the
+        # fetch stage tail idles most of a 32-core stage.
+        rows_per_salt = 500
+        delay = (
+            F.col("crawl_delay")
+            if robots is not None
+            else F.lit(None).cast("double")
+        )
+        no_delay = delay.isNull() | (delay <= 0)
+        buckets = F.least(
+            F.ceil(host_batch / rows_per_salt), F.lit(salt_buckets)
+        ).cast("long")
         out = out.withColumn(
             "salt",
             F.when(
-                F.least(n_host, F.col("_budget")) > salt_threshold,
-                F.pmod(F.xxhash64("canon_url"), F.lit(salt_buckets)).cast("int"),
+                (host_batch > salt_threshold)
+                | (no_delay & (host_batch > 2 * rows_per_salt)),
+                F.pmod(F.xxhash64("canon_url"), buckets).cast("int"),
             ).otherwise(F.lit(0)),
         )
     return (

@@ -143,9 +143,17 @@ class CrawlEngine:
         # delta; state resolves at read time (last version wins per
         # url_hash) and compacts to a base every compact_every rounds —
         # the round commit cost no longer scales with frontier size
+        # delta_partitions=32, not the table default 8: coalesce pulls
+        # its width up into the delta write's whole reduce stage
+        # (expand dedup + anti-join run AT that width), and 8 tasks
+        # left 3/4 of a 32-core stage idle — measured as the merge step
+        # anti-scaling from local[8] to local[32]. 32 keeps the stage
+        # wide at any sandbox size; per-round delta reads only touch
+        # one version's files, so the file-count cost stays bounded.
         self.frontier = SnapshotTable(
             spark, workdir, "frontier",
             merge_log=True, key="url_hash", order_col="canon_url",
+            delta_partitions=32,
         )
         # append-log table: O(batch) appends, read() unions the log.
         # delta_partitions=None keeps the write's natural partitioning:

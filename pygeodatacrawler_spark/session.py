@@ -43,6 +43,13 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # 16m, not the 64m default: AQE sizes post-shuffle reducer
+        # counts from this, and our shuffles move many small rows with
+        # compute attached (url canonicalize/dedup) — 64m coalesced a
+        # ~550MB link-expand shuffle to ~9 reducers, idling most of a
+        # 32-core stage. Data-derived (identical at every cluster
+        # size), so the two-size scaling protocol stays fair.
+        .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16m")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
