@@ -982,16 +982,26 @@ def q_media_decode(spark, sf_dir):
         encode_geotiff_fixture,
         encode_xlsx_fixture,
     )
-    from pygeodatacrawler_spark.operators.media import XLSX_TYPE, decode_media
+    from pygeodatacrawler_spark.functions.media_codecs import (
+        encode_shapefile_fixture,
+    )
+    from pygeodatacrawler_spark.operators.media import (
+        GEOJSON_TYPE,
+        SHAPEFILE_TYPE,
+        XLSX_TYPE,
+        decode_media,
+    )
 
     d = _table(spark, sf_dir, "documents").select("doc_id", "text")
 
     def _make(pdf_iter):
+        import json as _json
+
         for pdf in pdf_iter:
             payloads, types = [], []
             for i, txt in zip(pdf["doc_id"], pdf["text"]):
                 i = int(i)
-                if i % 3 == 0:
+                if i % 5 == 0:
                     payloads.append(
                         encode_geotiff_fixture(
                             width=i % 512 + 1,
@@ -1003,12 +1013,12 @@ def q_media_decode(spark, sf_dir):
                             yres=-0.25,
                             epsg=4326 if i % 2 == 0 else 32633,
                             projected=(i % 2 == 1),
-                            nodata=float(i % 5) if i % 2 == 0 else None,
+                            nodata=float(i % 7) if i % 2 == 0 else None,
                             byte_order="<" if i % 4 < 2 else ">",
                         )
                     )
                     types.append("image/tiff")
-                elif i % 3 == 1:
+                elif i % 5 == 1:
                     payloads.append(
                         encode_xlsx_fixture(
                             title=f"doc-{i}",
@@ -1017,9 +1027,47 @@ def q_media_decode(spark, sf_dir):
                         )
                     )
                     types.append(XLSX_TYPE)
-                else:
+                elif i % 5 == 2:
                     payloads.append((txt or "").encode())
                     types.append("application/octet-stream")
+                elif i % 5 == 3:
+                    gtype = ["Point", "LineString", "Polygon", "MultiPoint"][i % 4]
+                    base = float(i % 100)
+                    n = i % 4 + 1
+                    feats = []
+                    for j in range(n):
+                        pt = [base + j, 2.0 * j]
+                        coords = {
+                            "Point": pt,
+                            "LineString": [pt, pt],
+                            "Polygon": [[pt, pt, pt]],
+                            "MultiPoint": [pt],
+                        }[gtype]
+                        feats.append(
+                            {
+                                "type": "Feature",
+                                "geometry": {"type": gtype, "coordinates": coords},
+                                "properties": {
+                                    "name": f"f{j}", "score": 0.5, "rank": j
+                                },
+                            }
+                        )
+                    payloads.append(
+                        _json.dumps(
+                            {"type": "FeatureCollection", "features": feats}
+                        ).encode()
+                    )
+                    types.append(GEOJSON_TYPE)
+                else:
+                    minx, miny = float(i % 100), -1.0 * (i % 40)
+                    payloads.append(
+                        encode_shapefile_fixture(
+                            shp_type=[1, 3, 5][i % 3],
+                            n_features=i % 6 + 1,
+                            bounds=(minx, miny, minx + 2.5, miny + 1.25),
+                        )
+                    )
+                    types.append(SHAPEFILE_TYPE)
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
@@ -1043,31 +1091,50 @@ def q_media_decode(spark, sf_dir):
         F.element_at("bounds", 3).alias("b2"),
         F.element_at("bounds", 4).alias("b3"),
         "title", "creator", "n_sheets",
+        "geomtype", "n_features", "attrs",
     )
 
 
 SQL_MEDIA_DECODE = """
 select doc_id,
-  case doc_id % 3
+  case doc_id % 5
     when 0 then 'image/tiff'
     when 1 then 'application/vnd.openxmlformats-officedocument.spreadsheetml.sheet'
-    else 'application/octet-stream' end as media_type,
-  case when doc_id % 3 = 2 then octet_length(encode(text))::BIGINT end as raw_bytes,
-  case when doc_id % 3 = 0 then (doc_id % 512 + 1)::INT end as width,
-  case when doc_id % 3 = 0 then (doc_id % 384 + 1)::INT end as height,
-  case when doc_id % 3 = 0 then (doc_id % 4 + 1)::INT end as n_bands,
-  case when doc_id % 3 = 0 then
+    when 2 then 'application/octet-stream'
+    when 3 then 'application/geo+json'
+    else 'application/x-esri-shape' end as media_type,
+  case when doc_id % 5 = 2 then octet_length(encode(text))::BIGINT end as raw_bytes,
+  case when doc_id % 5 = 0 then (doc_id % 512 + 1)::INT end as width,
+  case when doc_id % 5 = 0 then (doc_id % 384 + 1)::INT end as height,
+  case when doc_id % 5 = 0 then (doc_id % 4 + 1)::INT end as n_bands,
+  case when doc_id % 5 = 0 then
     (case when doc_id % 2 = 0 then 'EPSG:4326' else 'EPSG:32633' end) end as epsg,
-  case when doc_id % 3 = 0 and doc_id % 2 = 0 then (doc_id % 5)::double end as nodata,
-  case when doc_id % 3 = 0 then (doc_id % 360 - 180)::double end as b0,
-  case when doc_id % 3 = 0 then
-    (doc_id % 140 - 60) - (doc_id % 384 + 1) * 0.25 end as b1,
-  case when doc_id % 3 = 0 then
-    (doc_id % 360 - 180) + (doc_id % 512 + 1) * 0.5 end as b2,
-  case when doc_id % 3 = 0 then (doc_id % 140 - 60)::double end as b3,
-  case when doc_id % 3 = 1 then 'doc-' || doc_id::varchar end as title,
-  case when doc_id % 3 = 1 then 'crawler' end as creator,
-  case when doc_id % 3 = 1 then (doc_id % 4 + 1)::INT end as n_sheets
+  case when doc_id % 5 = 0 and doc_id % 2 = 0 then (doc_id % 7)::double end as nodata,
+  case when doc_id % 5 = 0 then (doc_id % 360 - 180)::double
+       when doc_id % 5 = 3 then (doc_id % 100)::double
+       when doc_id % 5 = 4 then (doc_id % 100)::double end as b0,
+  case when doc_id % 5 = 0 then
+         (doc_id % 140 - 60) - (doc_id % 384 + 1) * 0.25
+       when doc_id % 5 = 3 then 0.0
+       when doc_id % 5 = 4 then -1.0 * (doc_id % 40) end as b1,
+  case when doc_id % 5 = 0 then
+         (doc_id % 360 - 180) + (doc_id % 512 + 1) * 0.5
+       when doc_id % 5 = 3 then (doc_id % 100 + doc_id % 4)::double
+       when doc_id % 5 = 4 then (doc_id % 100) + 2.5 end as b2,
+  case when doc_id % 5 = 0 then (doc_id % 140 - 60)::double
+       when doc_id % 5 = 3 then (2 * (doc_id % 4))::double
+       when doc_id % 5 = 4 then -1.0 * (doc_id % 40) + 1.25 end as b3,
+  case when doc_id % 5 = 1 then 'doc-' || doc_id::varchar end as title,
+  case when doc_id % 5 = 1 then 'crawler' end as creator,
+  case when doc_id % 5 = 1 then (doc_id % 4 + 1)::INT end as n_sheets,
+  case when doc_id % 5 = 3 then
+         (['point','curve','surface','point'])[doc_id % 4 + 1]
+       when doc_id % 5 = 4 then
+         (['point','curve','surface'])[doc_id % 3 + 1] end as geomtype,
+  case when doc_id % 5 = 3 then (doc_id % 4 + 1)::INT
+       when doc_id % 5 = 4 then (doc_id % 6 + 1)::INT end as n_features,
+  case when doc_id % 5 = 3 then 'name:String,score:Real,rank:Integer'
+  end as attrs
 from documents
 """
 

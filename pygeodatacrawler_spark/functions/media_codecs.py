@@ -203,6 +203,165 @@ def encode_geotiff_fixture(
     return out.getvalue()
 
 
+# -- vector: GeoJSON + ESRI Shapefile (S5) ----------------------------------
+
+# the reference's OGR geometry-type buckets (utils.py:132-141):
+# mcf types curve / surface / point / complex
+_CURVE_TYPES = {
+    "linestring", "line string", "polyline", "line", "curve",
+    "multiline", "multilinestring", "wkblinestring",
+}
+_SURFACE_TYPES = {"polygon", "multipolygon", "surface"}
+_POINT_TYPES = {"point", "multipoint"}
+
+
+def _mcf_geomtype(name: str | None) -> str:
+    n = (name or "").lower()
+    if n in _CURVE_TYPES:
+        return "curve"
+    if n in _SURFACE_TYPES:
+        return "surface"
+    if n in _POINT_TYPES:
+        return "point"
+    return "complex"
+
+
+def _geojson_bbox(geom, acc: list) -> None:
+    """Recursive coordinate min/max (any nesting depth)."""
+    if isinstance(geom, (int, float)):
+        return
+    if (
+        isinstance(geom, list)
+        and len(geom) >= 2
+        and all(isinstance(v, (int, float)) for v in geom[:2])
+    ):
+        x, y = float(geom[0]), float(geom[1])
+        if acc[0] is None or x < acc[0]:
+            acc[0] = x
+        if acc[1] is None or y < acc[1]:
+            acc[1] = y
+        if acc[2] is None or x > acc[2]:
+            acc[2] = x
+        if acc[3] is None or y > acc[3]:
+            acc[3] = y
+        return
+    if isinstance(geom, list):
+        for g in geom:
+            _geojson_bbox(g, acc)
+
+
+def decode_geojson(payload: bytes | None) -> dict:
+    """GeoJSON -> the vector facts the reference reads off OGR
+    (utils.py:118-158): feature count, mcf geomtype bucket, attribute
+    name:type list (from the first feature's properties, like OGR's
+    layer definition), bounds [minx, miny, maxx, maxy]."""
+    import json as _json
+
+    none = {"geomtype": None, "n_features": None, "attrs": None, "bounds": None}
+    if not payload:
+        return none
+    try:
+        doc = _json.loads(payload.decode("utf-8"))
+    except (UnicodeDecodeError, ValueError):
+        return none
+    if not isinstance(doc, dict):
+        return none
+    if doc.get("type") == "FeatureCollection":
+        feats = doc.get("features") or []
+    elif doc.get("type") == "Feature":
+        feats = [doc]
+    else:
+        return none
+    geoms = [f.get("geometry") for f in feats if isinstance(f, dict)]
+    geoms = [g for g in geoms if isinstance(g, dict)]
+    gtype = _mcf_geomtype(geoms[0].get("type")) if geoms else "complex"
+    props = next(
+        (
+            f["properties"]
+            for f in feats
+            if isinstance(f, dict) and isinstance(f.get("properties"), dict)
+        ),
+        {},
+    )
+    _TYPE = {str: "String", int: "Integer", float: "Real", bool: "Integer"}
+    attrs = ",".join(
+        f"{k}:{_TYPE.get(type(v), 'String')}" for k, v in props.items()
+    )
+    acc: list = [None, None, None, None]
+    for g in geoms:
+        _geojson_bbox(g.get("coordinates"), acc)
+    bounds = None if acc[0] is None else [float(v) for v in acc]
+    return {
+        "geomtype": gtype,
+        "n_features": len(feats),
+        "attrs": attrs or None,
+        "bounds": bounds,
+    }
+
+
+# shapefile shape-type ids -> type names (ESRI whitepaper, public)
+_SHP_TYPES = {
+    0: "null", 1: "point", 3: "polyline", 5: "polygon", 8: "multipoint",
+    11: "point", 13: "polyline", 15: "polygon", 18: "multipoint",
+    21: "point", 23: "polyline", 25: "polygon", 28: "multipoint",
+    31: "complex",
+}
+
+
+def decode_shapefile(payload: bytes | None) -> dict:
+    """.shp main-file parse: the 100-byte header (magic 9994, shape
+    type, bbox) + a record-header walk for the feature count — the
+    subset of OGR's layer introspection a header scan can answer."""
+    none = {"geomtype": None, "n_features": None, "attrs": None, "bounds": None}
+    if not payload or len(payload) < 100:
+        return none
+    try:
+        if struct.unpack(">i", payload[0:4])[0] != 9994:
+            return none
+        (file_len_words,) = struct.unpack(">i", payload[24:28])
+        (shp_type,) = struct.unpack("<i", payload[32:36])
+        minx, miny, maxx, maxy = struct.unpack("<4d", payload[36:68])
+        n = 0
+        off = 100
+        end = min(len(payload), file_len_words * 2)
+        while off + 8 <= end:
+            (content_words,) = struct.unpack(">i", payload[off + 4 : off + 8])
+            if content_words < 0:
+                break
+            off += 8 + content_words * 2
+            n += 1
+        return {
+            "geomtype": _mcf_geomtype(_SHP_TYPES.get(shp_type, "complex")),
+            "n_features": n,
+            "attrs": None,  # field defs live in the .dbf sidecar
+            "bounds": [minx, miny, maxx, maxy],
+        }
+    except struct.error:
+        return none
+
+
+def encode_shapefile_fixture(
+    shp_type: int = 1,
+    n_features: int = 3,
+    bounds: tuple[float, float, float, float] = (0.0, 0.0, 1.0, 1.0),
+) -> bytes:
+    """Minimal valid .shp bytes: header + n point records."""
+    rec = struct.pack("<i", 1) + struct.pack("<2d", bounds[0], bounds[1])
+    body = b"".join(
+        struct.pack(">ii", i + 1, len(rec) // 2) + rec
+        for i in range(n_features)
+    )
+    header = (
+        struct.pack(">i", 9994)
+        + b"\x00" * 20
+        + struct.pack(">i", (100 + len(body)) // 2)
+        + struct.pack("<ii", 1000, shp_type)
+        + struct.pack("<4d", *bounds)
+        + struct.pack("<4d", 0.0, 0.0, 0.0, 0.0)
+    )
+    return header + body
+
+
 # -- XLSX -------------------------------------------------------------------
 
 _NS_CP = "http://schemas.openxmlformats.org/package/2006/metadata/core-properties"

@@ -10,7 +10,10 @@ decoders (functions/media_codecs.py):
   geotransform math (utils.py:59-116);
 - ``application/vnd.openxmlformats-officedocument.spreadsheetml.sheet``
   -> core properties + sheet list, the ``parseExcel`` surface
-  (utils.py:416-423).
+  (utils.py:416-423);
+- ``application/geo+json`` / ``application/x-esri-shape`` (S5) -> the
+  OGR layer introspection subset (utils.py:118-158): feature count,
+  mcf geomtype bucket, attribute name:type list, bounds.
 
 Any other media type yields byte-level metadata only (n_bytes; format
 fields null) — an honest "no decoder for this type", not a fake.
@@ -26,21 +29,27 @@ import pandas as pd
 from pyspark.sql import DataFrame
 
 from pygeodatacrawler_spark.functions.media_codecs import (
+    decode_geojson,
     decode_geotiff,
+    decode_shapefile,
     decode_xlsx,
 )
 
 XLSX_TYPE = "application/vnd.openxmlformats-officedocument.spreadsheetml.sheet"
+GEOJSON_TYPE = "application/geo+json"
+SHAPEFILE_TYPE = "application/x-esri-shape"
 
 MEDIA_META_SCHEMA = (
     "media_type string, n_bytes long, width int, height int, "
     "n_bands int, epsg string, nodata double, bounds array<double>, "
-    "title string, creator string, keywords string, n_sheets int"
+    "title string, creator string, keywords string, n_sheets int, "
+    "geomtype string, n_features int, attrs string"
 )
 
 _META_KEYS = [
     "width", "height", "n_bands", "epsg", "nodata", "bounds",
     "title", "creator", "keywords", "n_sheets",
+    "geomtype", "n_features", "attrs",
 ]
 
 
@@ -57,6 +66,10 @@ def _decode_one(payload, media_type: str) -> dict:
             title=x["title"], creator=x["creator"], keywords=x["keywords"],
             n_sheets=None if x["sheets"] is None else len(x["sheets"]),
         )
+    elif media_type == GEOJSON_TYPE:
+        meta.update(decode_geojson(payload))
+    elif media_type == SHAPEFILE_TYPE:
+        meta.update(decode_shapefile(payload))
     return meta
 
 
@@ -81,6 +94,7 @@ def decode_media(
             out["width"] = out["width"].astype("Int64")
             out["height"] = out["height"].astype("Int64")
             out["n_bands"] = out["n_bands"].astype("Int64")
+            out["n_features"] = out["n_features"].astype("Int64")
             out.insert(0, id_col, pdf[id_col].values)
             yield out
 

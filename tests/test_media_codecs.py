@@ -75,3 +75,63 @@ def test_xlsx_fixture_is_deterministic():
     a = encode_xlsx_fixture(title="t", sheets=["x"])
     b = encode_xlsx_fixture(title="t", sheets=["x"])
     assert a == b  # fixed zip timestamps: pure function of inputs
+
+
+def test_geojson_decode():
+    import json
+
+    from pygeodatacrawler_spark.functions.media_codecs import decode_geojson
+
+    fc = {
+        "type": "FeatureCollection",
+        "features": [
+            {
+                "type": "Feature",
+                "geometry": {
+                    "type": "MultiPolygon",
+                    "coordinates": [[[[0, 0], [4, 0], [4, 3], [0, 0]]]],
+                },
+                "properties": {"name": "a", "area": 6.0, "cnt": 2},
+            },
+            {
+                "type": "Feature",
+                "geometry": {"type": "Point", "coordinates": [-1.5, 7.25]},
+                "properties": {"name": "b", "area": 0.0, "cnt": 1},
+            },
+        ],
+    }
+    got = decode_geojson(json.dumps(fc).encode())
+    # OGR bucket of the FIRST layer geometry (utils.py:132-141)
+    assert got["geomtype"] == "surface"
+    assert got["n_features"] == 2
+    assert got["attrs"] == "name:String,area:Real,cnt:Integer"
+    assert got["bounds"] == [-1.5, 0.0, 4.0, 7.25]
+
+    single = {"type": "Feature", "geometry": {"type": "LineString",
+              "coordinates": [[1, 2], [3, 4]]}, "properties": {}}
+    got2 = decode_geojson(json.dumps(single).encode())
+    assert got2["geomtype"] == "curve" and got2["n_features"] == 1
+    assert got2["bounds"] == [1.0, 2.0, 3.0, 4.0]
+
+    for bad in (None, b"", b"not json", b'{"type": "Topology"}'):
+        assert decode_geojson(bad)["n_features"] is None
+
+
+def test_shapefile_roundtrip():
+    from pygeodatacrawler_spark.functions.media_codecs import (
+        decode_shapefile,
+        encode_shapefile_fixture,
+    )
+
+    b = encode_shapefile_fixture(
+        shp_type=5, n_features=7, bounds=(-10.0, -5.0, 10.5, 5.25)
+    )
+    got = decode_shapefile(b)
+    assert got["geomtype"] == "surface"
+    assert got["n_features"] == 7
+    assert got["bounds"] == [-10.0, -5.0, 10.5, 5.25]
+
+    assert decode_shapefile(encode_shapefile_fixture(shp_type=13))["geomtype"] == "curve"
+    assert decode_shapefile(encode_shapefile_fixture(shp_type=8))["geomtype"] == "point"
+    for bad in (None, b"", b"\x00" * 100, b"PK shortfile"):
+        assert decode_shapefile(bad)["n_features"] is None
