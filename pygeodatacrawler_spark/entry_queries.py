@@ -1508,6 +1508,65 @@ def q_approx_distinct(spark, sf_dir):
     )
 
 
+def q_hll_distinct(spark, sf_dir):
+    # PORTABLE HyperLogLog (Flajolet et al. 2007, public): the sketch
+    # itself is built from engine-portable primitives — the md5 60-bit
+    # hash (functions/hashes.py), m=512 registers from the low 9 bits,
+    # rank via length(bin(w)) (string-exact, no float log on the hash
+    # path) — so unlike approx_count_distinct (engine-specific HLL,
+    # rows-only check), the ESTIMATE is value-oracled: DuckDB computes
+    # the identical sketch and the identical bias-corrected estimate.
+    ev = _table(spark, sf_dir, "events")
+    m = 512
+    h = md5_long(F.col("user_id").cast("string"))
+    w = F.shiftright(h, 9)
+    rho = F.when(w > 0, F.lit(52) - F.length(F.bin(w))).otherwise(F.lit(52))
+    regs = (
+        ev.select(
+            "event_type",
+            F.pmod(h, F.lit(m)).alias("bucket"),
+            rho.alias("rho"),
+        )
+        .groupBy("event_type", "bucket")
+        .agg(F.max("rho").alias("mr"))
+    )
+    agg = regs.groupBy("event_type").agg(
+        F.sum(F.pow(F.lit(2.0), -F.col("mr"))).alias("s"),
+        F.count("*").alias("nb"),
+    )
+    alpha_mm = (0.7213 / (1 + 1.079 / m)) * m * m
+    raw = F.lit(alpha_mm) / (F.col("s") + (F.lit(m) - F.col("nb")))
+    zeros = F.lit(m) - F.col("nb")
+    est = F.when(
+        (raw <= 2.5 * m) & (zeros > 0),
+        F.lit(float(m)) * F.log(F.lit(float(m)) / zeros),
+    ).otherwise(raw)
+    return agg.select("event_type", F.round(est, 2).alias("hll_users"))
+
+
+SQL_HLL_DISTINCT = f"""
+with h as (
+  select event_type, {SQL_MD5.format(e="user_id::varchar")} as h from events
+), r as (
+  select event_type, h % 512 as bucket,
+         case when (h >> 9) > 0 then 52 - length(bin(h >> 9)) else 52 end as rho
+  from h
+), regs as (
+  select event_type, bucket, max(rho) as mr from r group by 1, 2
+), agg as (
+  select event_type, sum(pow(2.0, -mr)) as s, count(*) as nb
+  from regs group by 1
+)
+select event_type,
+  round(case when ((0.7213 / (1 + 1.079 / 512)) * 512 * 512 / (s + (512 - nb)))
+                  <= 2.5 * 512 and (512 - nb) > 0
+             then 512.0 * ln(512.0 / (512 - nb))
+             else (0.7213 / (1 + 1.079 / 512)) * 512 * 512 / (s + (512 - nb))
+        end, 2) as hll_users
+from agg
+"""
+
+
 # =====================================================================
 # mapfile class generation (C7 full) + CRS math (C4/C5)
 # =====================================================================
@@ -2010,6 +2069,7 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "seen_filter_bloom": q_seen_filter_bloom,
         "seen_filter_cuckoo": q_seen_filter_cuckoo,
         "approx_distinct": q_approx_distinct,
+        "hll_distinct": q_hll_distinct,
     }
 
 
@@ -2061,6 +2121,7 @@ def all_oracle_sql() -> dict[str, str]:
         "style_classes": SQL_STYLE_CLASSES,
         "crs_codes": SQL_CRS_CODES,
         "reproject_bounds": SQL_REPROJECT,
+        "hll_distinct": SQL_HLL_DISTINCT,
         "reproject_utm": SQL_REPROJECT_UTM,
         "dc_normalize": SQL_DC_NORMALIZE,
         "token_stats": _sql_token_stats(),

@@ -243,3 +243,24 @@ def test_lsh_recall_derived_planes(spark):
     same = sum(1 for r in pairs if r["id_a"] // 8 == r["id_b"] // 8)
     assert same / (64 * 28) >= 0.9  # 28 in-cluster pairs per cluster
     assert all(r["id_a"] // 8 == r["id_b"] // 8 for r in pairs)
+
+
+def test_portable_hll_accuracy(spark):
+    # the value-oracled HLL (entry_queries.q_hll_distinct) must also be
+    # a decent estimator: m=512 registers -> ~4.6% standard error
+    import __spark_entry__ as e
+
+    est = {
+        r["event_type"]: r["hll_users"]
+        for r in e.queries()["hll_distinct"](spark, "/root/testdata/sf0.01").collect()
+    }
+    ev = spark.read.parquet("/root/testdata/sf0.01/events.parquet")
+    exact = {
+        r["event_type"]: r["n"]
+        for r in ev.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    assert set(est) == set(exact)
+    for k, n in exact.items():
+        assert abs(est[k] - n) / n < 0.15, (k, est[k], n)
