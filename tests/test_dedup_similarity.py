@@ -264,3 +264,39 @@ def test_portable_hll_accuracy(spark):
     assert set(est) == set(exact)
     for k, n in exact.items():
         assert abs(est[k] - n) / n < 0.15, (k, est[k], n)
+
+
+def test_ivf_topk_recall(spark):
+    # IVF coarse-quantizer ANN (the task's named alternative to LSH):
+    # train k-means centroids once, probe nprobe buckets per query;
+    # recall >=0.9 vs brute force on the clustered fixture
+    import numpy as np
+
+    from pygeodatacrawler_spark.operators.similarity import (
+        ivf_topk,
+        ivf_train_centroids,
+    )
+
+    rng = np.random.RandomState(11)
+    centers = rng.randn(24, 32)
+    rows, vid = [], 0
+    for c in centers:
+        for _ in range(8):
+            v = c + 0.08 * rng.randn(32)
+            rows.append((vid, [float(x) for x in v]))
+            vid += 1
+    vecs = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    queries = vecs.filter(F.col("vec_id") % 8 == 0)
+
+    cents = ivf_train_centroids(vecs, k=12, seed=7)
+    assert len(cents) == 12 and len(cents[0]) == 32
+
+    truth = {
+        (r["query_id"], r["neighbor_id"])
+        for r in brute_force_topk(vecs, queries, k=5).collect()
+    }
+    got = {
+        (r["query_id"], r["neighbor_id"])
+        for r in ivf_topk(vecs, queries, cents, k=5, nprobe=2).collect()
+    }
+    assert len(truth & got) / len(truth) >= 0.9
