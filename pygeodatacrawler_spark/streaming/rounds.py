@@ -57,6 +57,11 @@ def seed_ingest_stream(
         else:
             v = engine.frontier.write_snapshot(rows)
         engine._n_frontier = None  # recount lazily next round
+        # the engine's incrementally-maintained frontier cache mirrors
+        # ONLY deltas the engine itself committed; an external write
+        # like this seed merge must drop it or subsequent rounds crawl
+        # a stale frontier that never saw this batch's seeds
+        engine._drop_frontier_cache()
         # commit the seed merge to lineage so reconcile keeps it
         engine.commit_external(frontier_v=v)
         engine.run(max_rounds=rounds_per_batch)

@@ -144,3 +144,43 @@ def test_paginated_csw_filters(spark):
         fetch, pagesize=20, maxrecords=500, filters={"keyword": "soil"}
     )
     assert out2.count() == 50
+
+
+def test_seed_ingest_second_batch_not_stale(spark, tmp_path):
+    # regression: the engine's incrementally-maintained frontier cache
+    # must be dropped when the stream MERGEs seeds externally — with a
+    # stale cache, micro-batch 2's seeds would never be crawled
+    from pygeodatacrawler_spark.plans.crawl import CrawlEngine
+    from pygeodatacrawler_spark.streaming.rounds import seed_ingest_stream
+
+    pages, seeds, robots = load_pages(spark, n_pages=200, n_hosts=5)
+    seed_dir = str(tmp_path / "seeds_src2")
+    ckpt = str(tmp_path / "ckpt2")
+    first = seeds.filter(~F.col("url").contains("host-004"))
+    second = seeds.filter(F.col("url").contains("host-004"))
+    assert second.count() >= 1
+    first.coalesce(1).write.mode("overwrite").json(seed_dir)
+
+    eng = CrawlEngine(
+        spark, str(tmp_path / "crawl2"), pages, robots, host_budget=20
+    )
+    stream = spark.readStream.schema("url string, depth int").json(seed_dir)
+    q = seed_ingest_stream(stream, eng, rounds_per_batch=2, checkpoint_dir=ckpt)
+    q.awaitTermination(180)
+    assert eng._frontier_df is not None  # engine cache is warm now
+
+    # second batch: new seed file into the same source dir
+    second.coalesce(1).write.mode("append").json(seed_dir)
+    stream2 = spark.readStream.schema("url string, depth int").json(seed_dir)
+    q2 = seed_ingest_stream(stream2, eng, rounds_per_batch=2, checkpoint_dir=ckpt)
+    q2.awaitTermination(180)
+
+    fetched_hosts = {
+        r["registered_domain"]
+        for r in eng.records.read().select("registered_domain").distinct().collect()
+    }
+    assert any("host-004" in h for h in fetched_hosts)
+    # cache and disk agree after the external write + further rounds
+    assert sorted(map(tuple, eng._frontier_df.collect())) == sorted(
+        map(tuple, eng.frontier.read().collect())
+    )
