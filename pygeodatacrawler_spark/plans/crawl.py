@@ -122,7 +122,7 @@ class CrawlEngine:
         bloom_buckets: int = 16,
         salt_threshold: int = 1000,
         fetch_fn=None,
-        bloom_min_frontier: int = 200_000,
+        bloom_min_frontier: int = 4_000_000,
     ):
         self.spark = spark
         self.pages = pages
@@ -173,8 +173,14 @@ class CrawlEngine:
         # driver-side frontier-size counter: sizes the bloom without a
         # count() action per round; re-derived from the snapshot on resume
         self._n_frontier: int | None = None
-        # below this, the exact anti-join is cheaper than building and
-        # shipping bloom bitmaps; above it, the bloom prunes the shuffle
+        # below this, the exact anti-join is strictly cheaper than the
+        # bloom machinery: url_hash keys are 8 B, so a 4M-key frontier
+        # side is a ~32 MB broadcast (half the configured 64 MB
+        # autoBroadcast ceiling) and the seen check is ONE map-only
+        # broadcast-anti-join — versus the bloom's per-round delta
+        # build + merge + ship/probe stages. Above it, keys stop being
+        # broadcastable and the bloom prunes the shuffle; a per-key-
+        # size scale threshold, not a tuning knob.
         self.bloom_min_frontier = bloom_min_frontier
         # incremental seen-bloom: rebuilt from the full frontier only
         # when capacity is exceeded (amortized doubling); otherwise each
