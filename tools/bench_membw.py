@@ -15,7 +15,10 @@ bandwidth, so this ceiling is a single-box artifact, not a property of
 the crawl design (whose per-round work is map-only O(batch) with no
 term that grows with cluster size).
 
-Usage: python tools/bench_membw.py   -> one JSON line
+Usage: python tools/bench_membw.py [pages_per_proc]  -> one JSON line
+(default 1200 is a ~1 s burst; pass 8000+ for the SUSTAINED ceiling —
+burst runs overstate the ceiling because turbo/quiet-neighbor windows
+last longer than the probe)
 """
 
 from __future__ import annotations
@@ -36,7 +39,7 @@ from pygeodatacrawler_spark.functions.text import (  # noqa: E402
 
 HOSTS = [f"www.host-{i:03d}.org" for i in range(60)]
 SIZES = [180000] + [7118] * 59
-PAGES_PER_PROC = 1200
+PAGES_PER_PROC = 1200  # overridden by argv[1]
 
 
 def _build(gid: int) -> bytes:
@@ -70,17 +73,18 @@ def w_extract(args) -> int:
     return s
 
 
-def bench(fn, nproc: int) -> float:
+def bench(fn, nproc: int, per_proc: int) -> float:
     with mp.Pool(nproc, initializer=_init) as p:
         t0 = time.monotonic()
-        p.map(fn, [(i * PAGES_PER_PROC, PAGES_PER_PROC) for i in range(nproc)])
+        p.map(fn, [(i * per_proc, per_proc) for i in range(nproc)])
         return time.monotonic() - t0
 
 
 def main() -> None:
-    out = {}
+    per_proc = int(sys.argv[1]) if len(sys.argv) > 1 else PAGES_PER_PROC
+    out = {"pages_per_proc": per_proc}
     for name, fn in [("synthesize", w_synth), ("extract", w_extract)]:
-        w8, w32 = bench(fn, 8), bench(fn, 32)
+        w8, w32 = bench(fn, 8, per_proc), bench(fn, 32, per_proc)
         out[name] = {
             "wall_8proc_s": round(w8, 2),
             "wall_32proc_s": round(w32, 2),

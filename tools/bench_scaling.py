@@ -254,6 +254,10 @@ def main() -> None:
         job = sys.argv[2]
         if job == "crawl_big":
             out = run_crawl(int(sys.argv[3]), sys.argv[4], seed_every=3)
+        elif job == "crawl_mega":
+            # every corpus page seeded: rounds are pure budget waves
+            # (~120k URLs/round) — the shape of a production recrawl
+            out = run_crawl(int(sys.argv[3]), sys.argv[4], seed_every=1)
         elif job == "crawl":
             out = run_crawl(int(sys.argv[3]), sys.argv[4])
         else:
