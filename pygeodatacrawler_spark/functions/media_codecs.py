@@ -340,6 +340,68 @@ def decode_shapefile(payload: bytes | None) -> dict:
         return none
 
 
+def decode_dbf(payload: bytes | None) -> dict:
+    """.dbf sidecar parse: record count + field name:type list — the
+    other half of OGR's layer introspection (utils.py:150-153 reads
+    ``GetFieldCount``/``GetFieldDefn`` off the layer, which OGR sources
+    from this header). Type mapping follows OGR's dBase rules:
+    C->String, N->Integer (Real when decimals>0 or width>9), F->Real,
+    D->Date, L/M->String."""
+    none = {"n_features": None, "attrs": None}
+    if not payload or len(payload) < 33:
+        return none
+    try:
+        n_records = struct.unpack("<I", payload[4:8])[0]
+        fields = []
+        off = 32
+        while off + 32 <= len(payload) and payload[off] != 0x0D:
+            raw_name = payload[off : off + 11].split(b"\x00")[0]
+            ftype = chr(payload[off + 11])
+            width = payload[off + 16]
+            decimals = payload[off + 17]
+            if ftype == "C":
+                t = "String"
+            elif ftype == "N":
+                t = "Real" if decimals > 0 or width > 9 else "Integer"
+            elif ftype == "F":
+                t = "Real"
+            elif ftype == "D":
+                t = "Date"
+            else:  # L, M, unknown
+                t = "String"
+            fields.append(f"{raw_name.decode('ascii', 'replace')}:{t}")
+            off += 32
+        if not fields:
+            return none
+        return {"n_features": n_records, "attrs": ",".join(fields)}
+    except (struct.error, IndexError):
+        return none
+
+
+def encode_dbf_fixture(
+    fields: list[tuple[str, str, int, int]], n_records: int = 0
+) -> bytes:
+    """Minimal .dbf header bytes: (name, type_char, width, decimals)."""
+    out = io.BytesIO()
+    header_size = 32 + 32 * len(fields) + 1
+    record_size = 1 + sum(w for _, _, w, _ in fields)
+    out.write(
+        struct.pack(
+            "<BBBBIHH20x", 0x03, 24, 1, 1, n_records, header_size, record_size
+        )
+    )
+    for name, tchar, width, dec in fields:
+        out.write(
+            name.encode("ascii")[:11].ljust(11, b"\x00")
+            + tchar.encode("ascii")
+            + b"\x00" * 4
+            + bytes([width, dec])
+            + b"\x00" * 14
+        )
+    out.write(b"\x0d")
+    return out.getvalue()
+
+
 def encode_shapefile_fixture(
     shp_type: int = 1,
     n_features: int = 3,

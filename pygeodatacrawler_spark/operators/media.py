@@ -29,6 +29,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 
 from pygeodatacrawler_spark.functions.media_codecs import (
+    decode_dbf,
     decode_geojson,
     decode_geotiff,
     decode_shapefile,
@@ -38,6 +39,7 @@ from pygeodatacrawler_spark.functions.media_codecs import (
 XLSX_TYPE = "application/vnd.openxmlformats-officedocument.spreadsheetml.sheet"
 GEOJSON_TYPE = "application/geo+json"
 SHAPEFILE_TYPE = "application/x-esri-shape"
+DBF_TYPE = "application/x-dbf"
 
 MEDIA_META_SCHEMA = (
     "media_type string, n_bytes long, width int, height int, "
@@ -70,6 +72,8 @@ def _decode_one(payload, media_type: str) -> dict:
         meta.update(decode_geojson(payload))
     elif media_type == SHAPEFILE_TYPE:
         meta.update(decode_shapefile(payload))
+    elif media_type == DBF_TYPE:
+        meta.update(decode_dbf(payload))
     return meta
 
 

@@ -135,3 +135,23 @@ def test_shapefile_roundtrip():
     assert decode_shapefile(encode_shapefile_fixture(shp_type=8))["geomtype"] == "point"
     for bad in (None, b"", b"\x00" * 100, b"PK shortfile"):
         assert decode_shapefile(bad)["n_features"] is None
+
+
+def test_dbf_roundtrip():
+    from pygeodatacrawler_spark.functions.media_codecs import (
+        decode_dbf,
+        encode_dbf_fixture,
+    )
+
+    b = encode_dbf_fixture(
+        [("name", "C", 32, 0), ("depth", "N", 12, 4), ("count", "N", 6, 0),
+         ("ratio", "F", 10, 2), ("when", "D", 8, 0), ("flag", "L", 1, 0)],
+        n_records=42,
+    )
+    got = decode_dbf(b)
+    assert got["n_features"] == 42
+    assert got["attrs"] == (
+        "name:String,depth:Real,count:Integer,ratio:Real,when:Date,flag:String"
+    )
+    for bad in (None, b"", b"\x03" + b"\x00" * 40):
+        assert decode_dbf(bad)["attrs"] is None
