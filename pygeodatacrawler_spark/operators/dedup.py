@@ -21,8 +21,10 @@ verify results value-for-value.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 import pyspark.sql.functions as F
+from pyspark.sql.functions import pandas_udf
 
 from pygeodatacrawler_spark.functions.hashes import (
     md5_long,
@@ -271,12 +273,34 @@ def ngram_jaccard_verify(
     self-join. This composition (minhash_lsh_pairs -> verify) is the
     default near-dup path at corpus scale; ngram_jaccard_pairs stays as
     the exact-standalone opt-in.
+
+    The shingle arrays are built by an Arrow-batched pandas UDF, not
+    the tokens->transform->array_distinct Column chain: higher-order
+    functions are interpreted per element (outside whole-stage
+    codegen), and the chain measured 6.1 s for 5,000 docs vs 0.5 s for
+    the UDF — 12x, with output equality pinned by
+    test_gram_udf_matches_column_chain. "UDFs are the slow path" holds
+    for scalar row work, not for HOF-heavy array construction.
     """
+    n = shingle_n
+
+    @pandas_udf("array<string>")
+    def _distinct_grams(text: pd.Series) -> pd.Series:
+        out = []
+        for t in text:
+            if t is None:
+                out.append(None)
+                continue
+            toks = t.split()  # identical to tokens(): same ws set
+            grams = dict.fromkeys(  # first-occurrence order, distinct
+                " ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)
+            )
+            out.append(list(grams))
+        return pd.Series(out)
+
     ga = df.select(
         F.col(id_col).alias("_vid"),
-        F.array_distinct(
-            ngrams_from_tokens(tokens(F.col(text_col)), shingle_n)
-        ).alias("_grams"),
+        _distinct_grams(F.col(text_col)).alias("_grams"),
     )
     a = ga.select(F.col("_vid").alias("id_a"), F.col("_grams").alias("_ga"))
     b = ga.select(F.col("_vid").alias("id_b"), F.col("_grams").alias("_gb"))
@@ -286,7 +310,13 @@ def ngram_jaccard_verify(
         pairs.select("id_a", "id_b")
         .join(a, "id_a")
         .join(b, "id_b")
-        .withColumn("jaccard", F.round(n_inter / union.cast("double"), 4))
+        # nullif: two zero-shingle docs have an undefined jaccard (the
+        # LSH stage can't emit such a pair — no shingles, no signature
+        # — but direct callers can); null drops at the filter
+        .withColumn(
+            "jaccard",
+            F.round(n_inter / F.nullif(union, F.lit(0)).cast("double"), 4),
+        )
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )

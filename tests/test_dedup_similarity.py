@@ -300,3 +300,59 @@ def test_ivf_topk_recall(spark):
         for r in ivf_topk(vecs, queries, cents, k=5, nprobe=2).collect()
     }
     assert len(truth & got) / len(truth) >= 0.9
+
+
+def test_gram_udf_matches_column_chain(spark):
+    # the Arrow gram builder inside ngram_jaccard_verify must equal the
+    # tokens -> ngrams_from_tokens -> array_distinct Column chain on
+    # every edge: empty, 1-token, unicode whitespace, repeats, null
+    from pygeodatacrawler_spark.functions.quality import (
+        ngrams_from_tokens,
+        tokens,
+    )
+    from pygeodatacrawler_spark.operators.dedup import ngram_jaccard_verify
+
+    rows = [
+        (0, "a b c a b c a b"),
+        (1, "single"),
+        (2, ""),
+        (3, "   "),
+        (4, "tab\tsep\nnewline nbsp emsp end"),
+        (5, None),
+        (6, "x " * 500),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    for n in (2, 3):
+        want = {
+            r["doc_id"]: r["g"]
+            for r in df.select(
+                "doc_id",
+                F.array_distinct(
+                    ngrams_from_tokens(tokens(F.col("text")), n)
+                ).alias("g"),
+            ).collect()
+        }
+        cand = spark.createDataFrame(
+            [(i, j) for i in range(7) for j in range(i + 1, 7)],
+            "id_a long, id_b long",
+        )
+        out = ngram_jaccard_verify(
+            df, cand, "doc_id", "text", shingle_n=n, threshold=0.0
+        )
+        # equality checked through the operator's own join: jaccard of
+        # (i, j) from the UDF grams must equal jaccard from the chain
+        got = {(r["id_a"], r["id_b"]): r["jaccard"] for r in out.collect()}
+        import itertools
+
+        for i, j in itertools.combinations(range(7), 2):
+            gi, gj = want[i], want[j]
+            if gi is None or gj is None:
+                assert (i, j) not in got
+                continue
+            inter = len(set(gi) & set(gj))
+            union = len(gi) + len(gj) - inter
+            expect = round(inter / union, 4) if union else None
+            if expect is None:
+                assert (i, j) not in got or got[(i, j)] is None
+            else:
+                assert got.get((i, j)) == expect, (i, j, got.get((i, j)), expect)
