@@ -150,31 +150,3 @@ def repartition_for_fetch(
                 cores, min(3 * cores, est_rows // rows_per_task + 1)
             )
     return batch.repartition(num_partitions, "registered_domain", "salt")
-
-
-def salt_heavy_hosts(
-    batch: DataFrame,
-    salt_buckets: int = 8,
-    heavy_threshold: int = 1000,
-    num_partitions: int | None = None,
-) -> DataFrame:
-    """Add a salt column that splits heavy hosts across partitions.
-
-    Heavy hosts (pending rows > threshold) are found with one cheap
-    aggregation; everyone else keeps salt=0 so small hosts stay
-    co-located (one partition per host preserves politeness locality).
-    Repartition on (registered_domain, salt) before the fetch UDF.
-    """
-    counts = batch.groupBy("registered_domain").agg(F.count("*").alias("_n"))
-    salted = (
-        batch.join(F.broadcast(counts), "registered_domain")
-        .withColumn(
-            "salt",
-            F.when(
-                F.col("_n") > heavy_threshold,
-                F.pmod(F.xxhash64("canon_url"), F.lit(salt_buckets)).cast("int"),
-            ).otherwise(F.lit(0)),
-        )
-        .drop("_n")
-    )
-    return repartition_for_fetch(salted, num_partitions)

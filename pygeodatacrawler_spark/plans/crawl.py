@@ -599,6 +599,10 @@ class CrawlEngine:
         fetched_rows = batch.select(*FRONTIER_COLS).withColumn(
             "state", F.lit("fetched")
         )
+        # delta file width sized to the batch (known from footers): a
+        # tiny tail round writing 32 near-empty files pays pure commit
+        # overhead; a big round at width 4 collapses the write stage
+        self.frontier.delta_partitions = max(4, min(32, n_batch // 500))
         frontier_v = self.frontier.merge_upsert(
             fetched_rows.unionByName(new_links),
             current=frontier,

@@ -213,3 +213,20 @@ def test_crs_fuzzy_and_utm(spark):
 
     with _pytest.raises(ValueError):
         reproject_bounds(F.lit(0), F.lit(0), F.lit(1), F.lit(1), 4326, 2154)
+
+
+def test_mode1_class_block_single_quotes(spark):
+    # reference mode-1 (equal-width) blocks quote NAME/GROUP with
+    # SINGLE quotes (mapfile.py:419-425); dict modes use double quotes
+    from pygeodatacrawler_spark.functions.mapfile import (
+        equal_width_classes,
+        render_class_block,
+    )
+
+    bounds = spark.createDataFrame([("L1", 0.0, 8.0)], "layer string, mn double, mx double")
+    cls = equal_width_classes(bounds, "pixel", colors=("#ff0000", "#00ff00"))
+    blocks = render_class_block(cls, "grid", name_quote="'").collect()
+    b0 = next(r["class_block"] for r in blocks if r["idx"] == 0)
+    assert b0.startswith("CLASS\nNAME '0.0000 - 4.0000'\nGROUP 'Default'\n")
+    assert 'NAME "' not in b0
+    assert 'COLOR "#ff0000"' in b0  # STYLE body keeps double quotes
