@@ -155,3 +155,47 @@ def test_dbf_roundtrip():
     )
     for bad in (None, b"", b"\x03" + b"\x00" * 40):
         assert decode_dbf(bad)["attrs"] is None
+
+
+def test_decoders_total_on_arbitrary_bytes():
+    # fuzz: a crawl survives any truncated/corrupt download — every
+    # decoder must return its none-shape, never raise, on random bytes
+    # and on valid fixtures truncated at every prefix length
+    from hypothesis import given, settings, strategies as st
+
+    from pygeodatacrawler_spark.functions.media_codecs import (
+        decode_dbf,
+        decode_geojson,
+        decode_geotiff,
+        decode_shapefile,
+        decode_xlsx,
+        encode_dbf_fixture,
+        encode_geotiff_fixture,
+        encode_shapefile_fixture,
+        encode_xlsx_fixture,
+    )
+
+    decoders = [
+        decode_geotiff, decode_xlsx, decode_geojson,
+        decode_shapefile, decode_dbf,
+    ]
+
+    @settings(max_examples=150, deadline=None)
+    @given(st.binary(min_size=0, max_size=400))
+    def fuzz(payload):
+        for dec in decoders:
+            out = dec(payload)
+            assert isinstance(out, dict)
+
+    fuzz()
+
+    fixtures = [
+        encode_geotiff_fixture(width=9, height=9, epsg=4326, nodata=1.0),
+        encode_xlsx_fixture(title="t", sheets=["a"]),
+        encode_shapefile_fixture(shp_type=3, n_features=2),
+        encode_dbf_fixture([("f", "C", 10, 0)], n_records=3),
+    ]
+    for fx in fixtures:
+        for cut in range(0, len(fx), 7):
+            for dec in decoders:
+                assert isinstance(dec(fx[:cut]), dict)
