@@ -10,7 +10,7 @@ Subcommands:
              tables; resumable by re-running with the same workdir.
   harvest  — metadata harvest pass over pages parquet -> records
              parquet (sniff + checkId + optional config inheritance).
-  export   — render harvested records to a profile (json/xml) sink.
+  export   — render records to a profile (iso19139/dcat/stac/oarec/json) sink.
   catalog  — per-domain catalog rollup + rendered catalog documents
              (the crawl-maps analog).
 """
@@ -62,7 +62,11 @@ def main(argv: list[str] | None = None) -> int:
 
     e = sub.add_parser("export", help="render records to a profile sink")
     e.add_argument("--records", required=True)
-    e.add_argument("--profile", choices=["json", "xml"], default="json")
+    e.add_argument(
+        "--profile",
+        choices=["iso19139", "dcat", "stac", "oarec", "json"],
+        default="iso19139",
+    )
     e.add_argument("--out", required=True)
     _add_common(e)
 

@@ -13,6 +13,7 @@ order-insensitive value hash) deterministic:
 
 from __future__ import annotations
 
+import math as _math
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -34,6 +35,7 @@ from pygeodatacrawler_spark.functions.quality import (
     word_ngrams,
 )
 from pygeodatacrawler_spark.functions.urls import (
+    PSL_MULTI_SUFFIXES,
     canonicalize_url,
     registered_domain,
     safe_filename,
@@ -658,10 +660,16 @@ def _synth_url(spark, sf_dir):
         .when(F.col("doc_id") % 3 == 1, F.lit(".html#sec"))
         .otherwise(F.lit(".html"))
     )
+    tld = (
+        F.when(F.col("doc_id") % 4 == 0, F.lit(".Example.ORG"))
+        .when(F.col("doc_id") % 4 == 1, F.lit(".Example.co.uk"))
+        .when(F.col("doc_id") % 4 == 2, F.lit(".example.com.au"))
+        .otherwise(F.lit(".Example.de"))
+    )
     return d.select(
         "doc_id",
         F.concat(
-            F.lit("https://"), F.col("source"), F.lit(".Example.ORG/docs/"),
+            F.lit("https://"), F.col("source"), tld, F.lit("/docs/"),
             F.col("doc_id").cast("string"), suffix,
         ).alias("url"),
     )
@@ -669,13 +677,21 @@ def _synth_url(spark, sf_dir):
 
 SQL_SYNTH_URL = """
 select doc_id,
-  'https://' || source || '.Example.ORG/docs/' || doc_id ||
+  'https://' || source ||
+  case (doc_id % 4) when 0 then '.Example.ORG'
+                    when 1 then '.Example.co.uk'
+                    when 2 then '.example.com.au'
+                    else '.Example.de' end ||
+  '/docs/' || doc_id ||
   case (doc_id % 3) when 0 then '.html?service=WMS&request=GetCapabilities&map=1'
                     when 1 then '.html#sec' else '.html' end as url
 from documents
 """
 
 _STRIP_SQL = "(?i:request|service|version|layers|typenames|exceptions|outputformat)"
+
+# literal IN-list twin of urls._PSL_SET (DuckDB hash-probes it like Catalyst's InSet)
+PSL_IN_LIST = ", ".join(f"'{s}'" for s in sorted(PSL_MULTI_SUFFIXES))
 
 
 def q_canonicalize(spark, sf_dir):
@@ -708,8 +724,18 @@ canon as (select doc_id,
                             else tail end) end as canon
   from c6)
 select doc_id, canon,
-  regexp_extract(lower(regexp_extract(canon, '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]*)', 1)),
-                 '([^.]+\\.[^.]+)$', 1) as domain,
+  case when regexp_extract(
+         lower(regexp_extract(canon, '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]*)', 1)),
+         '([^.]+\\.[^.]+)$', 1) in ({PSL_IN_LIST})
+        and regexp_extract(
+         lower(regexp_extract(canon, '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]*)', 1)),
+         '([^.]+\\.[^.]+\\.[^.]+)$', 1) <> ''
+       then regexp_extract(
+         lower(regexp_extract(canon, '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]*)', 1)),
+         '([^.]+\\.[^.]+\\.[^.]+)$', 1)
+       else regexp_extract(
+         lower(regexp_extract(canon, '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]*)', 1)),
+         '([^.]+\\.[^.]+)$', 1) end as domain,
   len(list_filter(string_split(regexp_extract(canon, '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^?#]*)', 1), '/'),
                   x -> x <> '')) as depth,
   translate(canon, '# !/\\:;()[]{{}}&~%+,', '-------') as fname
@@ -1002,10 +1028,13 @@ def q_media_decode(spark, sf_dir):
             for i, txt in zip(pdf["doc_id"], pdf["text"]):
                 i = int(i)
                 if i % 5 == 0:
+                    # real pixel data (band ramp, one nodata pixel),
+                    # cycling the strip layouts the decoder supports:
+                    # raw / deflate / deflate+horizontal-predictor
                     payloads.append(
                         encode_geotiff_fixture(
-                            width=i % 512 + 1,
-                            height=i % 384 + 1,
+                            width=i % 48 + 1,
+                            height=i % 32 + 1,
                             n_bands=i % 4 + 1,
                             ulx=float(i % 360 - 180),
                             uly=float(i % 140 - 60),
@@ -1015,6 +1044,9 @@ def q_media_decode(spark, sf_dir):
                             projected=(i % 2 == 1),
                             nodata=float(i % 7) if i % 2 == 0 else None,
                             byte_order="<" if i % 4 < 2 else ">",
+                            band_base=i % 1000 + 10,
+                            compression="none" if i % 3 == 0 else "deflate",
+                            predictor=2 if i % 3 == 2 else 1,
                         )
                     )
                     types.append("image/tiff")
@@ -1090,6 +1122,14 @@ def q_media_decode(spark, sf_dir):
         F.element_at("bounds", 2).alias("b1"),
         F.element_at("bounds", 3).alias("b2"),
         F.element_at("bounds", 4).alias("b3"),
+        F.try_element_at("band_min", F.lit(1)).alias("bmin1"),
+        F.try_element_at("band_min", F.lit(2)).alias("bmin2"),
+        F.try_element_at("band_min", F.lit(3)).alias("bmin3"),
+        F.try_element_at("band_min", F.lit(4)).alias("bmin4"),
+        F.try_element_at("band_max", F.lit(1)).alias("bmax1"),
+        F.try_element_at("band_max", F.lit(2)).alias("bmax2"),
+        F.try_element_at("band_max", F.lit(3)).alias("bmax3"),
+        F.try_element_at("band_max", F.lit(4)).alias("bmax4"),
         "title", "creator", "n_sheets",
         "geomtype", "n_features", "attrs",
     )
@@ -1104,8 +1144,8 @@ select doc_id,
     when 3 then 'application/geo+json'
     else 'application/x-esri-shape' end as media_type,
   case when doc_id % 5 = 2 then octet_length(encode(text))::BIGINT end as raw_bytes,
-  case when doc_id % 5 = 0 then (doc_id % 512 + 1)::INT end as width,
-  case when doc_id % 5 = 0 then (doc_id % 384 + 1)::INT end as height,
+  case when doc_id % 5 = 0 then (doc_id % 48 + 1)::INT end as width,
+  case when doc_id % 5 = 0 then (doc_id % 32 + 1)::INT end as height,
   case when doc_id % 5 = 0 then (doc_id % 4 + 1)::INT end as n_bands,
   case when doc_id % 5 = 0 then
     (case when doc_id % 2 = 0 then 'EPSG:4326' else 'EPSG:32633' end) end as epsg,
@@ -1114,16 +1154,50 @@ select doc_id,
        when doc_id % 5 = 3 then (doc_id % 100)::double
        when doc_id % 5 = 4 then (doc_id % 100)::double end as b0,
   case when doc_id % 5 = 0 then
-         (doc_id % 140 - 60) - (doc_id % 384 + 1) * 0.25
+         (doc_id % 140 - 60) - (doc_id % 32 + 1) * 0.25
        when doc_id % 5 = 3 then 0.0
        when doc_id % 5 = 4 then -1.0 * (doc_id % 40) end as b1,
   case when doc_id % 5 = 0 then
-         (doc_id % 360 - 180) + (doc_id % 512 + 1) * 0.5
+         (doc_id % 360 - 180) + (doc_id % 48 + 1) * 0.5
        when doc_id % 5 = 3 then (doc_id % 100 + doc_id % 4)::double
        when doc_id % 5 = 4 then (doc_id % 100) + 2.5 end as b2,
   case when doc_id % 5 = 0 then (doc_id % 140 - 60)::double
        when doc_id % 5 = 3 then (2 * (doc_id % 4))::double
        when doc_id % 5 = 4 then -1.0 * (doc_id % 40) + 1.25 end as b3,
+  -- band ramp stats: band b holds base*b + (0 .. w*h-1); pixel (0,0)
+  -- is nodata when set and the raster has >1 pixel
+  case when doc_id % 5 = 0 then
+    ((doc_id % 1000 + 10) * 1
+     + case when doc_id % 2 = 0
+                 and (doc_id % 48 + 1) * (doc_id % 32 + 1) > 1
+            then 1 else 0 end)::double end as bmin1,
+  case when doc_id % 5 = 0 and doc_id % 4 + 1 >= 2 then
+    ((doc_id % 1000 + 10) * 2
+     + case when doc_id % 2 = 0
+                 and (doc_id % 48 + 1) * (doc_id % 32 + 1) > 1
+            then 1 else 0 end)::double end as bmin2,
+  case when doc_id % 5 = 0 and doc_id % 4 + 1 >= 3 then
+    ((doc_id % 1000 + 10) * 3
+     + case when doc_id % 2 = 0
+                 and (doc_id % 48 + 1) * (doc_id % 32 + 1) > 1
+            then 1 else 0 end)::double end as bmin3,
+  case when doc_id % 5 = 0 and doc_id % 4 + 1 >= 4 then
+    ((doc_id % 1000 + 10) * 4
+     + case when doc_id % 2 = 0
+                 and (doc_id % 48 + 1) * (doc_id % 32 + 1) > 1
+            then 1 else 0 end)::double end as bmin4,
+  case when doc_id % 5 = 0 then
+    ((doc_id % 1000 + 10) * 1
+     + (doc_id % 48 + 1) * (doc_id % 32 + 1) - 1)::double end as bmax1,
+  case when doc_id % 5 = 0 and doc_id % 4 + 1 >= 2 then
+    ((doc_id % 1000 + 10) * 2
+     + (doc_id % 48 + 1) * (doc_id % 32 + 1) - 1)::double end as bmax2,
+  case when doc_id % 5 = 0 and doc_id % 4 + 1 >= 3 then
+    ((doc_id % 1000 + 10) * 3
+     + (doc_id % 48 + 1) * (doc_id % 32 + 1) - 1)::double end as bmax3,
+  case when doc_id % 5 = 0 and doc_id % 4 + 1 >= 4 then
+    ((doc_id % 1000 + 10) * 4
+     + (doc_id % 48 + 1) * (doc_id % 32 + 1) - 1)::double end as bmax4,
   case when doc_id % 5 = 1 then 'doc-' || doc_id::varchar end as title,
   case when doc_id % 5 = 1 then 'crawler' end as creator,
   case when doc_id % 5 = 1 then (doc_id % 4 + 1)::INT end as n_sheets,
@@ -1574,19 +1648,57 @@ _CLASS_COLORS = ("#ff0000", "#ffff00", "#00ff00", "#00ffff")
 
 
 def q_color_classes(spark, sf_dir):
-    # C7 colorCoding mode 1 (mapfile.py:403-425): per-layer equal-width
-    # classes over [min,max] with DECIMAL(38,4)-rendered labels and
-    # mapserver range EXPRESSIONs. One agg + one explode — no driver loop.
-    from pygeodatacrawler_spark.functions.mapfile import equal_width_classes
+    # C7 colorCoding, ALL three modes in one tagged union (merged from
+    # the separate round-3 color_classes + style_classes entries so both
+    # stay inside the driver's 50-entry correctness window):
+    #   kind='range'  mode 1 (mapfile.py:403-425): per-layer equal-width
+    #                 classes, DECIMAL(38,4) labels, range EXPRESSIONs;
+    #                 extra = class color.
+    #   kind='style'  modes 2+3 (mapfile.py:430-440) rendered to full
+    #                 CLASS blocks with msStyler polygon STYLE bodies
+    #                 (mapfile.py:448-465); extra = the CLASS block.
+    from pygeodatacrawler_spark.functions.mapfile import (
+        config_classes,
+        equal_width_classes,
+        render_class_block,
+    )
 
     part = _table(spark, sf_dir, "part")
     bounds = part.groupBy("p_brand").agg(
         F.round(F.min("p_retailprice"), 2).alias("mn"),
         F.round(F.max("p_retailprice"), 2).alias("mx"),
     )
-    return equal_width_classes(
+    ranges = equal_width_classes(
         bounds, "pixel", colors=_CLASS_COLORS, group_name="Default"
-    ).select("p_brand", "idx", "lo", "hi", "color", "label", "expression", "grp")
+    ).select(
+        F.col("p_brand").alias("layer"),
+        F.lit("range").alias("kind"),
+        "idx", "label", "expression", "grp",
+        F.col("color").alias("extra"),
+    )
+
+    docs = _table(spark, sf_dir, "documents")
+    layers = docs.select(F.col("source").alias("layer")).distinct()
+    classes = spark.createDataFrame(
+        [
+            (0, "urban", "Urban areas", None, None, "#ff0000"),
+            (1, "42", None, None, None, "255 128 0"),
+            (2, None, None, 0.0, 0.5, "#00ff00"),
+            (3, None, None, 0.5, 1.0, None),
+        ],
+        "cfg_id int, val string, lbl string, cmin double, cmax double, color string",
+    )
+    styled = render_class_block(
+        config_classes(layers, classes, "score", group_name="Styled"),
+        "polygon",
+    ).select(
+        "layer",
+        F.lit("style").alias("kind"),
+        F.col("cfg_id").alias("idx"),
+        "label", "expression", "grp",
+        F.col("class_block").alias("extra"),
+    )
+    return ranges.unionByName(styled)
 
 
 SQL_COLOR_CLASSES = """
@@ -1607,56 +1719,15 @@ with bounds as (
   select p_brand, 0 as idx, round(mn, 4) as lo, round(mn, 4) as hi,
          '#ff0000' as color
   from bounds where mx - mn = 0
-)
-select p_brand, idx, lo, hi, color,
-  case when hi > lo
-       then lo::decimal(38,4)::varchar || ' - ' || hi::decimal(38,4)::varchar
-       else lo::decimal(38,4)::varchar end as label,
-  case when hi > lo
-       then '( [pixel] >= ' || lo::decimal(38,4)::varchar ||
-            ' AND [pixel] <= ' || hi::decimal(38,4)::varchar || ' )'
-       else '( [pixel] = ' || lo::decimal(38,4)::varchar || ' )' end
-    as expression,
-  'Default' as grp
-from cls
-"""
-
-
-def q_style_classes(spark, sf_dir):
-    # C7 colorCoding modes 2+3 (mapfile.py:430-440): config-driven
-    # absolute-value and range classes, rendered to full CLASS blocks
-    # with msStyler polygon STYLE bodies (mapfile.py:448-465).
-    from pygeodatacrawler_spark.functions.mapfile import (
-        config_classes,
-        render_class_block,
-    )
-
-    docs = _table(spark, sf_dir, "documents")
-    layers = docs.select(F.col("source").alias("layer")).distinct()
-    classes = spark.createDataFrame(
-        [
-            ("urban", "Urban areas", None, None, "#ff0000"),
-            ("42", None, None, None, "255 128 0"),
-            (None, None, 0.0, 0.5, "#00ff00"),
-            (None, None, 0.5, 1.0, None),
-        ],
-        "val string, lbl string, cmin double, cmax double, color string",
-    )
-    out = config_classes(layers, classes, "score", group_name="Styled")
-    return render_class_block(out, "polygon").select(
-        "layer", "label", "expression", "grp", "class_block"
-    )
-
-
-SQL_STYLE_CLASSES = """
-with layers as (select distinct source as layer from documents),
-cfg(val, lbl, cmin, cmax, color) as (values
-  ('urban', 'Urban areas', null, null, '#ff0000'),
-  ('42', null, null, null, '255 128 0'),
-  (null, null, 0.0, 0.5, '#00ff00'),
-  (null, null, 0.5, 1.0, null)
+),
+layers as (select distinct source as layer from documents),
+cfg(cfg_id, val, lbl, cmin, cmax, color) as (values
+  (0, 'urban', 'Urban areas', null, null, '#ff0000'),
+  (1, '42', null, null, null, '255 128 0'),
+  (2, null, null, 0.0, 0.5, '#00ff00'),
+  (3, null, null, 0.5, 1.0, null)
 ), rendered as (
-  select
+  select cfg_id,
     case when val is not null then
       '( [score] = "' || val || '" )'
     when cmin is not null and cmax is not null then
@@ -1674,13 +1745,26 @@ cfg(val, lbl, cmin, cmax, color) as (values
       else color end as hex
   from cfg
 )
-select layer, label, expression, 'Styled' as grp,
+select p_brand as layer, 'range' as kind, idx,
+  case when hi > lo
+       then lo::decimal(38,4)::varchar || ' - ' || hi::decimal(38,4)::varchar
+       else lo::decimal(38,4)::varchar end as label,
+  case when hi > lo
+       then '( [pixel] >= ' || lo::decimal(38,4)::varchar ||
+            ' AND [pixel] <= ' || hi::decimal(38,4)::varchar || ' )'
+       else '( [pixel] = ' || lo::decimal(38,4)::varchar || ' )' end
+    as expression,
+  'Default' as grp, color as extra
+from cls
+union all
+select layer, 'style' as kind, cfg_id as idx, label, expression,
+  'Styled' as grp,
   'CLASS' || chr(10) || 'NAME "' || label || '"' || chr(10) ||
   'GROUP "Styled"' || chr(10) || 'EXPRESSION ' || expression || chr(10) ||
   'STYLE' || chr(10) ||
   'COLOR "' || hex || '"' || chr(10) ||
   'OUTLINECOLOR "#232323"' || chr(10) || 'OUTLINEWIDTH 0.1' || chr(10) ||
-  'END' || chr(10) || 'END' || chr(10) || chr(10) as class_block
+  'END' || chr(10) || 'END' || chr(10) || chr(10) as extra
 from layers, rendered
 where expression is not null
 """
@@ -1752,12 +1836,44 @@ from nation
 """
 
 
+# Conic-family test grids: family -> (epsg, lon0_in, lon_step, lat0_in,
+# lat_step, control point lon/lat). All steps are dyadic rationals so the
+# nation-keyed inputs are exactly representable and inverse(forward(p))
+# rounds back to p exactly at 6 dp. The control point pins the forward
+# transform absolutely (the LAEA one is the EPSG Guidance Note 7-2
+# worked example, 50N 5E -> 3962799.45 E / 2999718.85 N; the LCC/Albers
+# ones are the projection origins, exact by definition).
+_CONIC_GRIDS: dict[str, tuple[int, float, float, float, float, tuple[float, float]]] = {
+    "lcc2154": (2154, -4.0, 0.375, 42.0, 0.25, (3.0, 46.5)),
+    "lcc3034": (3034, 0.0, 0.8125, 38.0, 1.0, (10.0, 52.0)),
+    "lcc3978": (3978, -130.0, 2.875, 46.0, 1.0, (-95.0, 49.0)),
+    "albers5070": (5070, -120.0, 2.0, 25.0, 0.9375, (-96.0, 23.0)),
+    "albers3577": (3577, 116.0, 1.375, -40.0, 1.125, (132.0, 0.0)),
+    "laea3035": (3035, -10.0, 1.625, 36.0, 1.375, (5.0, 50.0)),
+}
+
+
 def q_reproject_bounds(spark, sf_dir):
-    # C5 reprojectBounds (utils.py:240-256): 4326->3857 web-mercator
-    # corner transform + inverse roundtrip, closed-form Column math.
+    # C5 reprojectBounds (utils.py:240-256), all supported families in
+    # one tagged union (merged from the separate round-3 reproject_bounds
+    # + reproject_utm queries so every oracled query fits the driver's
+    # 50-entry correctness window):
+    #   merc       4326->3857 forward (c1..c4) + inverse roundtrip (c5,c6)
+    #   utm        4326<->32633 roundtrip (c1..c4) + CN Tower control
+    #              point in 32617 (c5,c6: published 630084.30 E
+    #              4833438.59 N)
+    #   lcc*/albers*/laea*  forward E,N at 2 dp (DuckDB evaluates the
+    #              same closed form, c1,c2), roundtrip (c3,c4), control
+    #              point (c5,c6)
     from pygeodatacrawler_spark.functions.geo import reproject_bounds
 
     part = _table(spark, sf_dir, "part")
+    nation = _table(spark, sf_dir, "nation")
+
+    # + 0.0 collapses IEEE negative zero after rounding (both engines)
+    def r(col, nd):
+        return F.round(col, nd) + 0.0
+
     lon = (F.col("p_partkey") % 340 - 170).cast("double")
     lat = (F.col("p_partkey") % 160 - 80).cast("double")
     fwd = reproject_bounds(lon, lat, lon + 5, lat + 5, 4326, 3857)
@@ -1766,36 +1882,23 @@ def q_reproject_bounds(spark, sf_dir):
         F.element_at(fwd, 3), F.element_at(fwd, 4),
         3857, 4326,
     )
-    # + 0.0 collapses IEEE negative zero after rounding (both engines)
-    return part.select(
-        "p_partkey",
-        (F.round(F.element_at(fwd, 1), 4) + 0.0).alias("x0"),
-        (F.round(F.element_at(fwd, 2), 4) + 0.0).alias("y0"),
-        (F.round(F.element_at(fwd, 3), 4) + 0.0).alias("x1"),
-        (F.round(F.element_at(fwd, 4), 4) + 0.0).alias("y1"),
-        (F.round(F.element_at(inv, 1), 6) + 0.0).alias("rlon0"),
-        (F.round(F.element_at(inv, 2), 6) + 0.0).alias("rlat0"),
+    merc = part.select(
+        F.col("p_partkey").alias("k"),
+        F.lit("merc").alias("family"),
+        r(F.element_at(fwd, 1), 4).alias("c1"),
+        r(F.element_at(fwd, 2), 4).alias("c2"),
+        r(F.element_at(fwd, 3), 4).alias("c3"),
+        r(F.element_at(fwd, 4), 4).alias("c4"),
+        r(F.element_at(inv, 1), 6).alias("c5"),
+        r(F.element_at(inv, 2), 6).alias("c6"),
     )
 
-
-def q_reproject_utm(spark, sf_dir):
-    # C5 extension: 4326<->UTM via the transverse-mercator series
-    # (geo.py tm_forward/tm_inverse; covers the proj targets the
-    # reference hits through reprojectBounds, utils.py:240-256).
-    # Oracle strategy: (a) per-row roundtrip identity — inputs are
-    # exact 0.125/0.5-step decimals so inverse(forward(p)) rounds back
-    # to p exactly; (b) the forward transform pinned absolutely on a
-    # published control point (CN Tower, UTM 17N 630084.30 E
-    # 4833438.59 N) so a mirrored sign error cannot cancel out.
-    from pygeodatacrawler_spark.functions.geo import reproject_bounds
-
-    part = _table(spark, sf_dir, "part")
-    lon = (F.lit(12.0) + (F.col("p_partkey") % 40) * 0.125).cast("double")
-    lat = (F.lit(-80.0) + (F.col("p_partkey") % 321) * 0.5).cast("double")
-    fwd = reproject_bounds(lon, lat, lon + 0.25, lat + 0.25, 4326, 32633)
-    inv = reproject_bounds(
-        F.element_at(fwd, 1), F.element_at(fwd, 2),
-        F.element_at(fwd, 3), F.element_at(fwd, 4),
+    ulon = (F.lit(12.0) + (F.col("p_partkey") % 40) * 0.125).cast("double")
+    ulat = (F.lit(-80.0) + (F.col("p_partkey") % 321) * 0.5).cast("double")
+    ufwd = reproject_bounds(ulon, ulat, ulon + 0.25, ulat + 0.25, 4326, 32633)
+    uinv = reproject_bounds(
+        F.element_at(ufwd, 1), F.element_at(ufwd, 2),
+        F.element_at(ufwd, 3), F.element_at(ufwd, 4),
         32633, 4326,
     )
     cn = reproject_bounds(
@@ -1803,30 +1906,64 @@ def q_reproject_utm(spark, sf_dir):
         F.lit(-79.387139), F.lit(43.642567),
         4326, 32617,
     )
-    return part.select(
-        "p_partkey",
-        (F.round(F.element_at(inv, 1), 6) + 0.0).alias("rlon0"),
-        (F.round(F.element_at(inv, 2), 6) + 0.0).alias("rlat0"),
-        (F.round(F.element_at(inv, 3), 6) + 0.0).alias("rlon1"),
-        (F.round(F.element_at(inv, 4), 6) + 0.0).alias("rlat1"),
-        F.round(F.element_at(cn, 1), 2).alias("cn_e"),
-        F.round(F.element_at(cn, 2), 2).alias("cn_n"),
+    utm = part.select(
+        F.col("p_partkey").alias("k"),
+        F.lit("utm").alias("family"),
+        r(F.element_at(uinv, 1), 6).alias("c1"),
+        r(F.element_at(uinv, 2), 6).alias("c2"),
+        r(F.element_at(uinv, 3), 6).alias("c3"),
+        r(F.element_at(uinv, 4), 6).alias("c4"),
+        r(F.element_at(cn, 1), 2).alias("c5"),
+        r(F.element_at(cn, 2), 2).alias("c6"),
     )
 
+    # Conic families are staged through explicit projections: the
+    # iterative conformal-latitude inverse references its input many
+    # times, so feeding it the raw forward EXPRESSION would replicate
+    # that whole subtree per reference (exponential analyzer blowup).
+    # Materializing _fx/_fy as named columns keeps every stage's trees
+    # small — CollapseProject won't inline a non-cheap alias referenced
+    # more than once, so the boundary survives optimization.
+    from pygeodatacrawler_spark.functions.geo import _CONIC_FWD, _CONIC_INV
 
-SQL_REPROJECT_UTM = """
-select p_partkey,
-       12.0 + (p_partkey % 40) * 0.125 as rlon0,
-       -80.0 + (p_partkey % 321) * 0.5 as rlat0,
-       12.25 + (p_partkey % 40) * 0.125 as rlon1,
-       -79.75 + (p_partkey % 321) * 0.5 as rlat1,
-       630084.30 as cn_e,
-       4833438.59 as cn_n
-from part
-"""
+    out = merc.unionByName(utm)
+    for fam, (code, ln0, lns, lt0, lts, (clon, clat)) in _CONIC_GRIDS.items():
+        nk = F.col("n_nationkey")
+        base = nation.select(
+            nk.cast("long").alias("k"),
+            (F.lit(ln0) + nk * lns).cast("double").alias("_lon"),
+            (F.lit(lt0) + nk * lts).cast("double").alias("_lat"),
+        )
+        fx, fy = _CONIC_FWD[code](F.col("_lon"), F.col("_lat"))
+        fwd_df = base.select("k", fx.alias("_fx"), fy.alias("_fy"))
+        rlon, rlat = _CONIC_INV[code](F.col("_fx"), F.col("_fy"))
+        cx, cy = _CONIC_FWD[code](F.lit(clon), F.lit(clat))
+        out = out.unionByName(
+            fwd_df.select(
+                "k",
+                F.lit(fam).alias("family"),
+                r(F.col("_fx"), 2).alias("c1"),
+                r(F.col("_fy"), 2).alias("c2"),
+                r(rlon, 6).alias("c3"),
+                r(rlat, 6).alias("c4"),
+                r(cx, 2).alias("c5"),
+                r(cy, 2).alias("c6"),
+            )
+        )
+    return out
 
 
-SQL_REPROJECT = """
+def _sql_reproject_composed() -> str:
+    """Oracle for the merged reproject query. Mercator forward is
+    evaluated natively by DuckDB; the conic forwards are evaluated by
+    DuckDB with the SAME closed form (constants inlined from
+    geo.lcc_constants/albers_constants/laea_constants); roundtrips are
+    identity on exactly-representable inputs; control points are
+    literals from the pure-Python mirror (the LAEA one equals the
+    published EPSG GN7-2 example to the cm)."""
+    from pygeodatacrawler_spark.functions import geo
+
+    parts = ["""
 with pts as (
   select p_partkey,
          (p_partkey % 340 - 170)::double as lon,
@@ -1840,13 +1977,69 @@ with pts as (
          ln(tan(pi()/4 + radians(lat + 5)/2)) * 6378137 as fy1
   from pts
 )
-select p_partkey,
-       round(fx0, 4) + 0.0 as x0, round(fy0, 4) + 0.0 as y0,
-       round(fx1, 4) + 0.0 as x1, round(fy1, 4) + 0.0 as y1,
-       round(degrees(fx0 / 6378137), 6) + 0.0 as rlon0,
-       round(degrees(2 * atan(exp(fy0 / 6378137)) - pi()/2), 6) + 0.0 as rlat0
+select p_partkey as k, 'merc' as family,
+       round(fx0, 4) + 0.0 as c1, round(fy0, 4) + 0.0 as c2,
+       round(fx1, 4) + 0.0 as c3, round(fy1, 4) + 0.0 as c4,
+       round(degrees(fx0 / 6378137), 6) + 0.0 as c5,
+       round(degrees(2 * atan(exp(fy0 / 6378137)) - pi()/2), 6) + 0.0 as c6
 from fwd
-"""
+""", """
+select p_partkey as k, 'utm' as family,
+       12.0 + (p_partkey % 40) * 0.125 as c1,
+       -80.0 + (p_partkey % 321) * 0.5 as c2,
+       12.25 + (p_partkey % 40) * 0.125 as c3,
+       -79.75 + (p_partkey % 321) * 0.5 as c4,
+       630084.30 as c5,
+       4833438.59 as c6
+from part
+"""]
+    for fam, (code, ln0, lns, lt0, lts, (clon, clat)) in _CONIC_GRIDS.items():
+        ce, cn_ = (round(v, 2) + 0.0 for v in geo._forward_py(clon, clat, code))
+        if code in geo._LCC2SP_DEFS:
+            k = geo.lcc_constants(code)
+            e, n, aF = k["e"], k["n"], k["aF"]
+            fwd_en = f"""
+         {k['fe']!r} + ({aF!r} * pow(tan(pi()/4 - phi/2) /
+             pow((1 - {e!r}*sin(phi)) / (1 + {e!r}*sin(phi)), {e/2!r}), {n!r}))
+           * sin({n!r} * radians(lon - {k['lon0']!r})) as fe,
+         {k['fn']!r} + {k['rho0']!r} - ({aF!r} * pow(tan(pi()/4 - phi/2) /
+             pow((1 - {e!r}*sin(phi)) / (1 + {e!r}*sin(phi)), {e/2!r}), {n!r}))
+           * cos({n!r} * radians(lon - {k['lon0']!r})) as fn"""
+        elif code in geo._ALBERS_DEFS:
+            k = geo.albers_constants(code)
+            e, n = k["e"], k["n"]
+            q = (f"(1 - {e*e!r}) * (sin(phi)/(1 - {e*e!r}*sin(phi)*sin(phi)) "
+                 f"- (1/(2*{e!r})) * ln((1 - {e!r}*sin(phi))/(1 + {e!r}*sin(phi))))")
+            rho = f"({k['a']!r} * sqrt({k['c']!r} - {n!r} * {q}) / {n!r})"
+            fwd_en = f"""
+         {k['fe']!r} + {rho} * sin({n!r} * radians(lon - {k['lon0']!r})) as fe,
+         {k['fn']!r} + {k['rho0']!r} - {rho} * cos({n!r} * radians(lon - {k['lon0']!r})) as fn"""
+        else:
+            k = geo.laea_constants(code)
+            e = k["e"]
+            sb0, cb0 = _math.sin(k["beta0"]), _math.cos(k["beta0"])
+            q = (f"(1 - {e*e!r}) * (sin(phi)/(1 - {e*e!r}*sin(phi)*sin(phi)) "
+                 f"- (1/(2*{e!r})) * ln((1 - {e!r}*sin(phi))/(1 + {e!r}*sin(phi))))")
+            beta = f"asin({q} / {k['qp']!r})"
+            b = (f"({k['rq']!r} * sqrt(2.0 / (1 + {sb0!r}*sin({beta}) "
+                 f"+ {cb0!r}*cos({beta})*cos(radians(lon - {k['lon0']!r})))))")
+            fwd_en = f"""
+         {k['fe']!r} + {b} * {k['d']!r} * cos({beta})
+           * sin(radians(lon - {k['lon0']!r})) as fe,
+         {k['fn']!r} + ({b} / {k['d']!r}) * ({cb0!r}*sin({beta})
+           - {sb0!r}*cos({beta})*cos(radians(lon - {k['lon0']!r}))) as fn"""
+        parts.append(f"""
+select k, family, round(fe, 2) + 0.0 as c1, round(fn, 2) + 0.0 as c2,
+       lon as c3, lat as c4, {ce!r} as c5, {cn_!r} as c6
+from (
+  select n_nationkey::bigint as k, '{fam}' as family,
+         ({ln0!r} + n_nationkey * {lns!r})::double as lon,
+         ({lt0!r} + n_nationkey * {lts!r})::double as lat,
+         radians(({lt0!r} + n_nationkey * {lts!r})::double) as phi
+  from nation
+) g, lateral (select {fwd_en}) f
+""")
+    return "\nunion all\n".join(parts)
 
 
 def _seen_filter(spark, sf_dir, kind: str):
@@ -1882,16 +2075,27 @@ def _seen_filter(spark, sf_dir, kind: str):
     return definite.unionByName(confirmed).select("doc_id")
 
 
-def q_seen_filter_cuckoo(spark, sf_dir):
-    return _seen_filter(spark, sf_dir, "cuckoo")
-
-
-def q_seen_filter_bloom(spark, sf_dir):
-    return _seen_filter(spark, sf_dir, "bloom")
+def q_seen_filter(spark, sf_dir):
+    # Both approximate-filter flavours value-verified in ONE query (a
+    # tagged union, merged from the separate round-3 seen_filter_bloom /
+    # seen_filter_cuckoo entries so both stay inside the driver's
+    # 50-entry correctness window): each method's surviving doc_ids must
+    # independently equal the plain anti-join the oracle computes.
+    bloom = _seen_filter(spark, sf_dir, "bloom").select(
+        F.lit("bloom").alias("method"), "doc_id"
+    )
+    cuckoo = _seen_filter(spark, sf_dir, "cuckoo").select(
+        F.lit("cuckoo").alias("method"), "doc_id"
+    )
+    return bloom.unionByName(cuckoo)
 
 
 SQL_SEEN_FILTER = """
-select doc_id from documents where doc_id % 2 = 0 and doc_id % 3 <> 0
+select 'bloom' as method, doc_id from documents
+where doc_id % 2 = 0 and doc_id % 3 <> 0
+union all
+select 'cuckoo' as method, doc_id from documents
+where doc_id % 2 = 0 and doc_id % 3 <> 0
 """
 
 
@@ -2012,6 +2216,250 @@ from norm
 """
 
 
+def _export_mcf(spark, sf_dir):
+    """Deterministic MCF-shaped records from documents — fields chosen
+    to exercise every renderer branch: XML/JSON escaping (& < > \"),
+    empty vs populated keywords, null distribution, all three
+    identifier shapes safeFileName must clean."""
+    d = _table(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    ds = did.cast("string")
+    return d.select(
+        "doc_id",
+        F.when(did % 3 == 0, F.concat(F.lit("https://example.org/id/"), ds))
+        .when(did % 3 == 1, F.concat(F.lit("ID-"), ds))
+        .otherwise(F.concat(F.lit("rec "), ds, F.lit(" (x)")))
+        .alias("identifier"),
+        F.concat(F.lit("Doc "), ds, F.lit(' <&> "q"')).alias("title"),
+        F.substring(F.col("text"), 1, 40).alias("abstract"),
+        F.when(did % 4 == 0, F.array().cast("array<string>"))
+        .otherwise(
+            F.array(
+                F.concat(F.lit("kw"), (did % 7).cast("string")),
+                F.concat(F.lit("tag"), (did % 3).cast("string")),
+            )
+        )
+        .alias("keywords"),
+        F.concat(F.lit("2021-11-0"), (did % 9 + 1).cast("string")).alias(
+            "datestamp"
+        ),
+        F.concat(F.lit("2019-0"), (did % 9 + 1).cast("string"), F.lit("-15"))
+        .alias("creation"),
+        F.concat(F.lit("Org "), F.col("source")).alias("contact_org"),
+        F.concat(F.col("source"), F.lit("@example.org")).alias("contact_email"),
+        F.when(
+            did % 3 == 0, F.lit("https://creativecommons.org/licenses/by/4.0/")
+        ).when(did % 3 == 1, F.lit("CC-BY-4.0")).otherwise(F.lit(""))
+        .alias("license"),
+        F.when(did % 5 != 0, F.concat(F.lit("https://example.org/d/"), ds))
+        .alias("dist_url"),
+        F.concat(F.lit("doc_"), ds, F.lit(".csv")).alias("dist_name"),
+        F.lit("WWW:LINK").alias("dist_type"),
+        ((did % 36) * 10 - 180 + 0.5).cast("double").alias("minx"),
+        ((did % 17) * 10 - 85 + 0.25).cast("double").alias("miny"),
+        ((did % 36) * 10 - 180 + 2.0).cast("double").alias("maxx"),
+        ((did % 17) * 10 - 85 + 1.0).cast("double").alias("maxy"),
+    )
+
+
+def q_export_render(spark, sf_dir):
+    # S11 full export profiles (metadata.py:199-230): every record
+    # rendered through all four pygeometa-analog output schemas —
+    # iso19139 XML, dcat/stac/oarec JSON — with the reference's
+    # safeFileName(identifier)+ext filename. Pure string-building
+    # column expressions (sources/export.py), DuckDB assembles the
+    # byte-identical payloads.
+    from pygeodatacrawler_spark.sources import export as ex
+
+    rec = ex.ensure_mcf(_export_mcf(spark, sf_dir))
+    outs = []
+    for prof, (renderer, extn) in ex._RENDERERS.items():
+        outs.append(
+            rec.select(
+                "doc_id",
+                F.lit(prof).alias("profile"),
+                F.concat(
+                    safe_filename(F.col("identifier")), F.lit(f".{extn}")
+                ).alias("filename"),
+                renderer(rec).alias("payload"),
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out
+
+
+def _sql_export_render() -> str:
+    esc_j = (
+        """replace(replace({x}, '\\', '\\\\'), '"', '\\"')"""
+    )
+    esc_x = (
+        "replace(replace(replace({x}, '&', '&amp;'), '<', '&lt;'),"
+        " '>', '&gt;')"
+    )
+
+    def j(x: str) -> str:
+        return esc_j.format(x=x)
+
+    def x_(x: str) -> str:
+        return esc_x.format(x=x)
+
+    def d6(x: str) -> str:
+        return f"({x})::decimal(38,6)::varchar"
+
+    poly = (
+        '\'{"type":"Polygon","coordinates":[[[\' || '
+        f"{d6('minx')} || ',' || {d6('miny')} || '],[' || "
+        f"{d6('maxx')} || ',' || {d6('miny')} || '],[' || "
+        f"{d6('maxx')} || ',' || {d6('maxy')} || '],[' || "
+        f"{d6('minx')} || ',' || {d6('maxy')} || '],[' || "
+        f"{d6('minx')} || ',' || {d6('miny')} || ']]]}}'"
+    )
+    bbox = (
+        f"'[' || {d6('minx')} || ',' || {d6('miny')} || ',' || "
+        f"{d6('maxx')} || ',' || {d6('maxy')} || ']'"
+    )
+    return f"""
+with mcf as (
+  select doc_id,
+    case when doc_id % 3 = 0 then 'https://example.org/id/' || doc_id
+         when doc_id % 3 = 1 then 'ID-' || doc_id
+         else 'rec ' || doc_id || ' (x)' end as identifier,
+    'Doc ' || doc_id || ' <&> "q"' as title,
+    substr(text, 1, 40) as abstract,
+    case when doc_id % 4 = 0 then '[]'
+         else '["kw' || (doc_id % 7) || '","tag' || (doc_id % 3) || '"]'
+    end as kw_json,
+    case when doc_id % 4 = 0 then ''
+         else '<gmd:keyword><gco:CharacterString>kw' || (doc_id % 7)
+           || '</gco:CharacterString></gmd:keyword>'
+           || '<gmd:keyword><gco:CharacterString>tag' || (doc_id % 3)
+           || '</gco:CharacterString></gmd:keyword>'
+    end as kw_xml,
+    '2021-11-0' || (doc_id % 9 + 1) as datestamp,
+    '2019-0' || (doc_id % 9 + 1) || '-15' as creation,
+    'Org ' || source as contact_org,
+    source || '@example.org' as contact_email,
+    case when doc_id % 3 = 0
+           then 'https://creativecommons.org/licenses/by/4.0/'
+         when doc_id % 3 = 1 then 'CC-BY-4.0' else '' end as license,
+    case when doc_id % 5 <> 0 then 'https://example.org/d/' || doc_id
+    end as dist_url,
+    'doc_' || doc_id || '.csv' as dist_name,
+    'WWW:LINK' as dist_type,
+    ((doc_id % 36) * 10 - 180 + 0.5)::double as minx,
+    ((doc_id % 17) * 10 - 85 + 0.25)::double as miny,
+    ((doc_id % 36) * 10 - 180 + 2.0)::double as maxx,
+    ((doc_id % 17) * 10 - 85 + 1.0)::double as maxy,
+    translate(identifier, '# !/\\:;()[]{{}}&~%+,', '-------') as fname
+  from documents
+)
+select doc_id, 'iso19139' as profile, fname || '.xml' as filename,
+  '<gmd:MD_Metadata'
+  || ' xmlns:gmd="http://www.isotc211.org/2005/gmd"'
+  || ' xmlns:gco="http://www.isotc211.org/2005/gco">'
+  || '<gmd:fileIdentifier><gco:CharacterString>'
+  || {x_('identifier')}
+  || '</gco:CharacterString></gmd:fileIdentifier>'
+  || '<gmd:hierarchyLevel><gmd:MD_ScopeCode>dataset'
+  || '</gmd:MD_ScopeCode></gmd:hierarchyLevel>'
+  || '<gmd:contact><gmd:CI_ResponsibleParty>'
+  || '<gmd:organisationName><gco:CharacterString>'
+  || {x_('contact_org')}
+  || '</gco:CharacterString></gmd:organisationName>'
+  || '<gmd:electronicMailAddress><gco:CharacterString>'
+  || {x_('contact_email')}
+  || '</gco:CharacterString></gmd:electronicMailAddress>'
+  || '</gmd:CI_ResponsibleParty></gmd:contact>'
+  || '<gmd:dateStamp><gco:Date>' || datestamp
+  || '</gco:Date></gmd:dateStamp>'
+  || '<gmd:identificationInfo><gmd:MD_DataIdentification>'
+  || '<gmd:title><gco:CharacterString>' || {x_('title')}
+  || '</gco:CharacterString></gmd:title>'
+  || '<gmd:abstract><gco:CharacterString>' || {x_('abstract')}
+  || '</gco:CharacterString></gmd:abstract>'
+  || '<gmd:descriptiveKeywords>' || kw_xml || '</gmd:descriptiveKeywords>'
+  || '<gmd:resourceConstraints><gmd:MD_LegalConstraints>'
+  || '<gmd:otherConstraints><gco:CharacterString>' || {x_('license')}
+  || '</gco:CharacterString></gmd:otherConstraints>'
+  || '</gmd:MD_LegalConstraints></gmd:resourceConstraints>'
+  || '<gmd:extent><gmd:EX_GeographicBoundingBox>'
+  || '<gmd:westBoundLongitude><gco:Decimal>' || {d6('minx')}
+  || '</gco:Decimal></gmd:westBoundLongitude>'
+  || '<gmd:eastBoundLongitude><gco:Decimal>' || {d6('maxx')}
+  || '</gco:Decimal></gmd:eastBoundLongitude>'
+  || '<gmd:southBoundLatitude><gco:Decimal>' || {d6('miny')}
+  || '</gco:Decimal></gmd:southBoundLatitude>'
+  || '<gmd:northBoundLatitude><gco:Decimal>' || {d6('maxy')}
+  || '</gco:Decimal></gmd:northBoundLatitude>'
+  || '</gmd:EX_GeographicBoundingBox></gmd:extent>'
+  || '</gmd:MD_DataIdentification></gmd:identificationInfo>'
+  || coalesce('<gmd:distributionInfo><gmd:MD_Distribution>'
+     || '<gmd:transferOptions><gmd:CI_OnlineResource>'
+     || '<gmd:linkage><gmd:URL>' || {x_('dist_url')}
+     || '</gmd:URL></gmd:linkage><gmd:name><gco:CharacterString>'
+     || {x_('dist_name')}
+     || '</gco:CharacterString></gmd:name>'
+     || '<gmd:protocol><gco:CharacterString>' || {x_('dist_type')}
+     || '</gco:CharacterString></gmd:protocol>'
+     || '</gmd:CI_OnlineResource></gmd:transferOptions>'
+     || '</gmd:MD_Distribution></gmd:distributionInfo>', '')
+  || '</gmd:MD_Metadata>' as payload
+from mcf
+union all
+select doc_id, 'dcat' as profile, fname || '.json' as filename,
+  '{{"@type":"dcat:Dataset","dct:identifier":"' || {j('identifier')}
+  || '","dct:title":"' || {j('title')}
+  || '","dct:description":"' || {j('abstract')}
+  || '","dcat:keyword":' || kw_json
+  || ',"dct:issued":"' || creation
+  || '","dct:modified":"' || datestamp
+  || '","dct:license":"' || {j('license')}
+  || '","dcat:contactPoint":{{"vcard:fn":"' || {j('contact_org')}
+  || '","vcard:hasEmail":"' || {j('contact_email')}
+  || '"}},"dcat:distribution":'
+  || coalesce('[{{"@type":"dcat:Distribution","dcat:accessURL":"'
+       || {j('dist_url')} || '","dct:title":"' || {j('dist_name')}
+       || '","dct:format":"' || {j('dist_type')} || '"}}]', '[]')
+  || ',"dct:spatial":{{"bbox":' || {bbox} || '}}}}' as payload
+from mcf
+union all
+select doc_id, 'stac' as profile, fname || '.json' as filename,
+  '{{"type":"Feature","stac_version":"1.0.0","id":"' || {j('identifier')}
+  || '","bbox":' || {bbox}
+  || ',"geometry":' || {poly}
+  || ',"properties":{{"title":"' || {j('title')}
+  || '","description":"' || {j('abstract')}
+  || '","datetime":"' || datestamp
+  || 'T00:00:00Z","created":"' || creation
+  || '"}},"links":[],"assets":'
+  || coalesce('{{"data":{{"href":"' || {j('dist_url')} || '","title":"'
+       || {j('dist_name')} || '"}}}}', '{{}}')
+  || '}}' as payload
+from mcf
+union all
+select doc_id, 'oarec' as profile, fname || '.json' as filename,
+  '{{"id":"' || {j('identifier')}
+  || '","type":"Feature","geometry":' || {poly}
+  || ',"properties":{{"type":"dataset","title":"' || {j('title')}
+  || '","description":"' || {j('abstract')}
+  || '","keywords":' || kw_json
+  || ',"created":"' || creation
+  || '","updated":"' || datestamp
+  || '","contactPoint":"' || {j('contact_org')}
+  || '","license":"' || {j('license')}
+  || '"}},"links":'
+  || coalesce('[{{"href":"' || {j('dist_url')}
+       || '","rel":"item","title":"' || {j('dist_name')} || '"}}]', '[]')
+  || '}}' as payload
+from mcf
+"""
+
+
+SQL_EXPORT_RENDER = _sql_export_render()
+
+
 # =====================================================================
 # registry
 # =====================================================================
@@ -2060,16 +2508,17 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "layer_explode": q_layer_explode,
         "doi_cascade": q_doi_cascade,
         "color_classes": q_color_classes,
-        "style_classes": q_style_classes,
         "crs_codes": q_crs_codes,
         "reproject_bounds": q_reproject_bounds,
-        "reproject_utm": q_reproject_utm,
         "dc_normalize": q_dc_normalize,
         "token_stats": q_token_stats,
-        "seen_filter_bloom": q_seen_filter_bloom,
-        "seen_filter_cuckoo": q_seen_filter_cuckoo,
-        "approx_distinct": q_approx_distinct,
+        "seen_filter": q_seen_filter,
         "hll_distinct": q_hll_distinct,
+        "export_render": q_export_render,
+        # rows-only (no oracle by design: Spark's engine-specific HLL
+        # sketch) — kept LAST so the driver's 50-entry correctness
+        # window always covers every oracled query above.
+        "approx_distinct": q_approx_distinct,
     }
 
 
@@ -2118,15 +2567,13 @@ def all_oracle_sql() -> dict[str, str]:
         "layer_explode": SQL_LAYER_EXPLODE,
         "doi_cascade": SQL_DOI_CASCADE,
         "color_classes": SQL_COLOR_CLASSES,
-        "style_classes": SQL_STYLE_CLASSES,
         "crs_codes": SQL_CRS_CODES,
-        "reproject_bounds": SQL_REPROJECT,
+        "reproject_bounds": _sql_reproject_composed(),
         "hll_distinct": SQL_HLL_DISTINCT,
-        "reproject_utm": SQL_REPROJECT_UTM,
         "dc_normalize": SQL_DC_NORMALIZE,
         "token_stats": _sql_token_stats(),
-        "seen_filter_bloom": SQL_SEEN_FILTER,
-        "seen_filter_cuckoo": SQL_SEEN_FILTER,
+        "seen_filter": SQL_SEEN_FILTER,
+        "export_render": SQL_EXPORT_RENDER,
         # approx_distinct: intentionally no oracle (HLL is
         # algorithm-specific); the driver records a rows-only check
     }

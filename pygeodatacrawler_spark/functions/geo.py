@@ -30,8 +30,15 @@ implements the pure-math subset as JVM-side Column expressions:
   mercator) pair AND the 4326 <-> UTM family (EPSG 326xx/327xx WGS84,
   258xx ETRS89, 269xx NAD83) via the standard transverse-mercator
   series (Snyder 1987, eqs 3-21/8-9..8-17; the same truncation proj's
-  default tmerc uses — sub-mm inside a zone) as closed-form Column
-  math. Other CRS pairs raise, explicitly.
+  default tmerc uses — sub-mm inside a zone) AND the most-hit conic
+  targets as closed-form Column math (EPSG Guidance Note 7-2):
+  Lambert conformal conic 2SP (2154 Lambert-93, 3034 LCC Europe,
+  3978 Canada Atlas), Albers equal-area (5070 Conus, 3577 Australian)
+  and Lambert azimuthal equal-area (3035 LAEA Europe). Other CRS
+  pairs raise, explicitly. NOTE for roundtrips: the conic inverse
+  iterates, so feed it COLUMN REFERENCES (stage the forward result
+  through a select) — passing the raw forward expression replicates
+  that subtree once per reference.
 
 Everything here is whole-stage-codegen'd (regexp + trig built-ins, no
 UDF) and oracle-portable: DuckDB evaluates the same regexes and the
@@ -302,6 +309,257 @@ def tm_inverse(
     return lon, lat
 
 
+# -- conic families: LCC 2SP, Albers equal-area, LAEA ----------------------
+#
+# The reference reaches these through proj (utils.py:240-256 builds a
+# CoordinateTransformation to an arbitrary target EPSG). The most-hit
+# European/CONUS targets are closed-form (EPSG Guidance Note 7-2 /
+# Snyder 1987): constants (n, F, rho0, ...) are plain Python floats
+# computed once driver-side; only t(phi)/q(phi)/theta are per-row
+# Column math, all codegen'd built-ins.
+
+import math as _math
+
+# (ellipsoid, lat0, lon0, lat1, lat2, FE, FN) per EPSG code
+_LCC2SP_DEFS: dict[int, tuple] = {
+    2154: (_GRS80, 46.5, 3.0, 44.0, 49.0, 700000.0, 6600000.0),    # RGF93 / Lambert-93
+    3034: (_GRS80, 52.0, 10.0, 35.0, 65.0, 4000000.0, 2800000.0),  # ETRS89 / LCC Europe
+    3978: (_GRS80, 49.0, -95.0, 49.0, 77.0, 0.0, 0.0),             # NAD83 / Canada Atlas Lambert
+}
+_ALBERS_DEFS: dict[int, tuple] = {
+    5070: (_GRS80, 23.0, -96.0, 29.5, 45.5, 0.0, 0.0),             # NAD83 / Conus Albers
+    3577: (_GRS80, 0.0, 132.0, -18.0, -36.0, 0.0, 0.0),            # GDA94 / Australian Albers
+}
+_LAEA_DEFS: dict[int, tuple] = {
+    3035: (_GRS80, 52.0, 10.0, 4321000.0, 3210000.0),              # ETRS89 / LAEA Europe
+}
+
+
+def _lcc_m(phi: float, e2: float) -> float:
+    return _math.cos(phi) / _math.sqrt(1 - e2 * _math.sin(phi) ** 2)
+
+
+def _lcc_t_f(phi: float, e: float) -> float:
+    return _math.tan(_math.pi / 4 - phi / 2) / (
+        (1 - e * _math.sin(phi)) / (1 + e * _math.sin(phi))
+    ) ** (e / 2)
+
+
+def lcc_constants(code: int) -> dict:
+    """Driver-side LCC 2SP projection constants (EPSG GN7-2 §1.3.1.1)."""
+    (a, f), lat0, lon0, lat1, lat2, fe, fn = _LCC2SP_DEFS[code]
+    e2 = f * (2 - f)
+    e = _math.sqrt(e2)
+    p0, p1, p2 = map(_math.radians, (lat0, lat1, lat2))
+    m1, m2 = _lcc_m(p1, e2), _lcc_m(p2, e2)
+    t0, t1, t2 = (_lcc_t_f(p, e) for p in (p0, p1, p2))
+    n = (_math.log(m1) - _math.log(m2)) / (_math.log(t1) - _math.log(t2))
+    big_f = m1 / (n * t1**n)
+    rho0 = a * big_f * t0**n
+    return dict(a=a, e=e, e2=e2, lon0=lon0, n=n, aF=a * big_f,
+                rho0=rho0, fe=fe, fn=fn)
+
+
+def _col_t(phi: Column, e: float) -> Column:
+    """t(phi) as a Column (same operation order as :func:`_lcc_t_f`)."""
+    s = F.sin(phi)
+    return F.tan(F.pi() / 4 - phi / 2) / F.pow(
+        (1 - e * s) / (1 + e * s), e / 2
+    )
+
+
+def lcc_forward(lon: Column, lat: Column, code: int) -> tuple[Column, Column]:
+    """Geographic -> LCC 2SP easting/northing (EPSG GN7-2)."""
+    k = lcc_constants(code)
+    t = _col_t(F.radians(lat), k["e"])
+    rho = k["aF"] * F.pow(t, k["n"])
+    theta = k["n"] * F.radians(lon - F.lit(k["lon0"]))
+    return (
+        k["fe"] + rho * F.sin(theta),
+        k["fn"] + k["rho0"] - rho * F.cos(theta),
+    )
+
+
+def _phi_from_t(t: Column, e: float) -> Column:
+    """Conformal latitude inverse: phi from t by fixed-point iteration
+    (EPSG GN7-2). Contraction ~e^2/2 per step: 4 steps reach ~1e-12 rad
+    from a ~3e-3 rad spherical start. Kept minimal on purpose — each
+    step references phi twice, so the expression tree grows 2^steps."""
+    phi = F.pi() / 2 - 2 * F.atan(t)
+    for _ in range(4):
+        s = F.sin(phi)
+        phi = F.pi() / 2 - 2 * F.atan(
+            t * F.pow((1 - e * s) / (1 + e * s), e / 2)
+        )
+    return phi
+
+
+def lcc_inverse(x: Column, y: Column, code: int) -> tuple[Column, Column]:
+    k = lcc_constants(code)
+    dx, dy = x - F.lit(k["fe"]), F.lit(k["rho0"]) - (y - F.lit(k["fn"]))
+    sgn = 1.0 if k["n"] >= 0 else -1.0
+    rho = sgn * F.sqrt(dx * dx + dy * dy)
+    t = F.pow(rho / k["aF"], 1.0 / k["n"])
+    theta = F.atan2(sgn * dx, sgn * dy)
+    lat = F.degrees(_phi_from_t(t, k["e"]))
+    lon = F.degrees(theta / k["n"]) + F.lit(k["lon0"])
+    return lon, lat
+
+
+def _auth_q(phi: float, e: float) -> float:
+    s = _math.sin(phi)
+    return (1 - e * e) * (
+        s / (1 - e * e * s * s)
+        - (1 / (2 * e)) * _math.log((1 - e * s) / (1 + e * s))
+    )
+
+
+def _col_q(phi: Column, e: float) -> Column:
+    s = F.sin(phi)
+    return (1 - e * e) * (
+        s / (1 - e * e * s * s)
+        - (1 / (2 * e)) * F.log((1 - e * s) / (1 + e * s))
+    )
+
+
+def _beta_to_phi(beta: Column, e2: float) -> Column:
+    """Authalic -> geodetic latitude series (Snyder 1987 eq 3-18)."""
+    e4, e6 = e2 * e2, e2 * e2 * e2
+    return (
+        beta
+        + (e2 / 3 + 31 * e4 / 180 + 517 * e6 / 5040) * F.sin(2 * beta)
+        + (23 * e4 / 360 + 251 * e6 / 3780) * F.sin(4 * beta)
+        + (761 * e6 / 45360) * F.sin(6 * beta)
+    )
+
+
+def albers_constants(code: int) -> dict:
+    """Driver-side Albers equal-area conic constants (Snyder eqs 14-3..14-6)."""
+    (a, f), lat0, lon0, lat1, lat2, fe, fn = _ALBERS_DEFS[code]
+    e2 = f * (2 - f)
+    e = _math.sqrt(e2)
+    p0, p1, p2 = map(_math.radians, (lat0, lat1, lat2))
+    m1, m2 = _lcc_m(p1, e2), _lcc_m(p2, e2)
+    q0, q1, q2 = (_auth_q(p, e) for p in (p0, p1, p2))
+    n = (m1 * m1 - m2 * m2) / (q2 - q1)
+    c = m1 * m1 + n * q1
+    rho0 = a * _math.sqrt(c - n * q0) / n
+    qp = _auth_q(_math.pi / 2, e)
+    return dict(a=a, e=e, e2=e2, lon0=lon0, n=n, c=c, rho0=rho0,
+                qp=qp, fe=fe, fn=fn)
+
+
+def albers_forward(lon: Column, lat: Column, code: int) -> tuple[Column, Column]:
+    k = albers_constants(code)
+    q = _col_q(F.radians(lat), k["e"])
+    rho = k["a"] * F.sqrt(k["c"] - k["n"] * q) / k["n"]
+    theta = k["n"] * F.radians(lon - F.lit(k["lon0"]))
+    return (
+        k["fe"] + rho * F.sin(theta),
+        k["fn"] + k["rho0"] - rho * F.cos(theta),
+    )
+
+
+def albers_inverse(x: Column, y: Column, code: int) -> tuple[Column, Column]:
+    k = albers_constants(code)
+    dx, dy = x - F.lit(k["fe"]), F.lit(k["rho0"]) - (y - F.lit(k["fn"]))
+    sgn = 1.0 if k["n"] >= 0 else -1.0
+    rho = sgn * F.sqrt(dx * dx + dy * dy)
+    q = (k["c"] - F.pow(rho * k["n"] / k["a"], F.lit(2.0))) / k["n"]
+    beta = F.asin(q / k["qp"])
+    lat = F.degrees(_beta_to_phi(beta, k["e2"]))
+    lon = F.lit(k["lon0"]) + F.degrees(F.atan2(sgn * dx, sgn * dy) / k["n"])
+    return lon, lat
+
+
+def laea_constants(code: int) -> dict:
+    """Driver-side Lambert azimuthal equal-area constants (EPSG GN7-2 §1.3.3.2)."""
+    (a, f), lat0, lon0, fe, fn = _LAEA_DEFS[code]
+    e2 = f * (2 - f)
+    e = _math.sqrt(e2)
+    p0 = _math.radians(lat0)
+    qp = _auth_q(_math.pi / 2, e)
+    q0 = _auth_q(p0, e)
+    beta0 = _math.asin(q0 / qp)
+    rq = a * _math.sqrt(qp / 2)
+    m0 = _lcc_m(p0, e2)
+    d = a * m0 / (rq * _math.cos(beta0))
+    return dict(a=a, e=e, e2=e2, lon0=lon0, qp=qp, beta0=beta0, rq=rq,
+                d=d, fe=fe, fn=fn)
+
+
+def laea_forward(lon: Column, lat: Column, code: int) -> tuple[Column, Column]:
+    k = laea_constants(code)
+    beta = F.asin(_col_q(F.radians(lat), k["e"]) / k["qp"])
+    dlam = F.radians(lon - F.lit(k["lon0"]))
+    sb0, cb0 = _math.sin(k["beta0"]), _math.cos(k["beta0"])
+    b = k["rq"] * F.sqrt(
+        2.0 / (1 + sb0 * F.sin(beta) + cb0 * F.cos(beta) * F.cos(dlam))
+    )
+    return (
+        k["fe"] + b * k["d"] * F.cos(beta) * F.sin(dlam),
+        k["fn"] + (b / k["d"]) * (cb0 * F.sin(beta) - sb0 * F.cos(beta) * F.cos(dlam)),
+    )
+
+
+def laea_inverse(x: Column, y: Column, code: int) -> tuple[Column, Column]:
+    k = laea_constants(code)
+    sb0, cb0 = _math.sin(k["beta0"]), _math.cos(k["beta0"])
+    ex, ny = (x - F.lit(k["fe"])) / k["d"], (y - F.lit(k["fn"])) * k["d"]
+    rho = F.sqrt(ex * ex + ny * ny)
+    c = 2 * F.asin(rho / (2 * k["rq"]))
+    beta = F.asin(F.cos(c) * sb0 + ny * F.sin(c) * cb0 / rho)
+    lat = F.degrees(_beta_to_phi(beta, k["e2"]))
+    lon = F.lit(k["lon0"]) + F.degrees(
+        F.atan2(ex * F.sin(c), rho * cb0 * F.cos(c) - ny * sb0 * F.sin(c))
+    )
+    return lon, lat
+
+
+def _forward_py(lon: float, lat: float, code: int) -> tuple[float, float]:
+    """Pure-Python mirror of the conic forward Column math (same constants,
+    same operation order). Used by property tests and to generate oracle-SQL
+    control-point literals — NOT a second implementation: it shares
+    :func:`lcc_constants`/:func:`albers_constants`/:func:`laea_constants`."""
+    if code in _LCC2SP_DEFS:
+        k = lcc_constants(code)
+        t = _lcc_t_f(_math.radians(lat), k["e"])
+        rho = k["aF"] * t ** k["n"]
+        th = k["n"] * _math.radians(lon - k["lon0"])
+        return k["fe"] + rho * _math.sin(th), k["fn"] + k["rho0"] - rho * _math.cos(th)
+    if code in _ALBERS_DEFS:
+        k = albers_constants(code)
+        q = _auth_q(_math.radians(lat), k["e"])
+        rho = k["a"] * _math.sqrt(k["c"] - k["n"] * q) / k["n"]
+        th = k["n"] * _math.radians(lon - k["lon0"])
+        return k["fe"] + rho * _math.sin(th), k["fn"] + k["rho0"] - rho * _math.cos(th)
+    if code in _LAEA_DEFS:
+        k = laea_constants(code)
+        beta = _math.asin(_auth_q(_math.radians(lat), k["e"]) / k["qp"])
+        dlam = _math.radians(lon - k["lon0"])
+        sb0, cb0 = _math.sin(k["beta0"]), _math.cos(k["beta0"])
+        b = k["rq"] * _math.sqrt(
+            2.0 / (1 + sb0 * _math.sin(beta) + cb0 * _math.cos(beta) * _math.cos(dlam))
+        )
+        return (
+            k["fe"] + b * k["d"] * _math.cos(beta) * _math.sin(dlam),
+            k["fn"] + (b / k["d"]) * (cb0 * _math.sin(beta) - sb0 * _math.cos(beta) * _math.cos(dlam)),
+        )
+    raise ValueError(f"no conic family for EPSG:{code}")
+
+
+_CONIC_FWD = {
+    **{c: (lambda lo, la, c=c: lcc_forward(lo, la, c)) for c in _LCC2SP_DEFS},
+    **{c: (lambda lo, la, c=c: albers_forward(lo, la, c)) for c in _ALBERS_DEFS},
+    **{c: (lambda lo, la, c=c: laea_forward(lo, la, c)) for c in _LAEA_DEFS},
+}
+_CONIC_INV = {
+    **{c: (lambda x, y, c=c: lcc_inverse(x, y, c)) for c in _LCC2SP_DEFS},
+    **{c: (lambda x, y, c=c: albers_inverse(x, y, c)) for c in _ALBERS_DEFS},
+    **{c: (lambda x, y, c=c: laea_inverse(x, y, c)) for c in _LAEA_DEFS},
+}
+
+
 def reproject_bounds(
     minx: Column, miny: Column, maxx: Column, maxy: Column,
     source: int = 4326, target: int = 3857,
@@ -333,7 +591,16 @@ def reproject_bounds(
         lon0, lat0 = tm_inverse(minx, miny, *p)
         lon1, lat1 = tm_inverse(maxx, maxy, *p)
         return F.array(lon0, lat0, lon1, lat1)
+    if source == 4326 and target in _CONIC_FWD:
+        x0, y0 = _CONIC_FWD[target](minx, miny)
+        x1, y1 = _CONIC_FWD[target](maxx, maxy)
+        return F.array(x0, y0, x1, y1)
+    if target == 4326 and source in _CONIC_INV:
+        lon0, lat0 = _CONIC_INV[source](minx, miny)
+        lon1, lat1 = _CONIC_INV[source](maxx, maxy)
+        return F.array(lon0, lat0, lon1, lat1)
     raise ValueError(
         f"unsupported CRS pair {source}->{target}; closed-form subset is "
-        "4326<->3857 and 4326<->UTM (no GDAL in this environment)"
+        "4326<->3857, 4326<->UTM, and 4326<->{LCC 2154/3034/3978, "
+        "Albers 5070/3577, LAEA 3035} (no GDAL in this environment)"
     )

@@ -41,7 +41,15 @@ _T_ASCII, _T_SHORT, _T_LONG, _T_DOUBLE = 2, 3, 4, 12
 
 _TAG_WIDTH = 256
 _TAG_HEIGHT = 257
+_TAG_BITS = 258
+_TAG_COMPRESSION = 259
+_TAG_STRIP_OFFSETS = 273
 _TAG_SAMPLES = 277
+_TAG_ROWS_PER_STRIP = 278
+_TAG_STRIP_COUNTS = 279
+_TAG_PLANAR = 284
+_TAG_PREDICTOR = 317
+_TAG_SAMPLE_FORMAT = 339
 _TAG_PIXEL_SCALE = 33550
 _TAG_TIEPOINT = 33922
 _TAG_GEOKEYS = 34735
@@ -63,6 +71,7 @@ def decode_geotiff(payload: bytes | None) -> dict:
     none = {
         "width": None, "height": None, "n_bands": None,
         "epsg": None, "nodata": None, "bounds": None,
+        "band_min": None, "band_max": None,
     }
     if not payload or len(payload) < 8:
         return none
@@ -137,12 +146,138 @@ def decode_geotiff(payload: bytes | None) -> dict:
             lry = uly + height * yres
             bounds = [float(ulx), float(lry), float(lrx), float(uly)]
 
+        band_min, band_max = _band_stats(
+            payload, bo, tags, width, height, n_bands, nodata
+        )
+
         return {
             "width": width, "height": height, "n_bands": n_bands,
             "epsg": epsg, "nodata": nodata, "bounds": bounds,
+            "band_min": band_min, "band_max": band_max,
         }
     except (struct.error, IndexError, KeyError):
         return none
+
+
+def _band_stats(
+    payload: bytes,
+    bo: str,
+    tags: dict[int, tuple],
+    width: int | None,
+    height: int | None,
+    n_bands: int,
+    nodata: float | None,
+) -> tuple[list | None, list | None]:
+    """Per-band pixel min/max — the reference's
+    ``srcband.ComputeStatistics(0)`` pass (utils.py:73-88), computed
+    directly from the strip data with stdlib zlib + numpy.
+
+    Supported layout: strip-organized TIFF, uncompressed (1) or
+    deflate (8/32946), predictor none/horizontal (1/2), chunky or
+    planar (284), uniform 8/16/32/64-bit uint/int/float samples.
+    Anything else (tiles, LZW, JPEG, float-predictor) -> (None, None):
+    an honest "no stats", never a wrong number. ``nodata`` pixels (and
+    float NaNs) are excluded, like GDAL statistics.
+    """
+    if (
+        _TAG_STRIP_OFFSETS not in tags
+        or _TAG_STRIP_COUNTS not in tags
+        or not width
+        or not height
+    ):
+        return None, None
+    comp = int(tags.get(_TAG_COMPRESSION, (1,))[0])
+    pred = int(tags.get(_TAG_PREDICTOR, (1,))[0])
+    planar = int(tags.get(_TAG_PLANAR, (1,))[0])
+    bits_t = tags.get(_TAG_BITS, (8,) * n_bands)
+    fmt_t = tags.get(_TAG_SAMPLE_FORMAT, (1,) * n_bands)
+    bits, sfmt = int(bits_t[0]), int(fmt_t[0])
+    if not (
+        all(int(b) == bits for b in bits_t)
+        and all(int(f) == sfmt for f in fmt_t)
+        and comp in (1, 8, 32946)
+        and pred in (1, 2)
+        and planar in (1, 2)
+        and bits in (8, 16, 32, 64)
+        and sfmt in (1, 2, 3)
+        and not (pred == 2 and sfmt == 3)
+        and not (sfmt == 3 and bits < 32)
+    ):
+        return None, None
+    import zlib
+
+    import numpy as np
+
+    dt = np.dtype(f"{bo}{ {1: 'u', 2: 'i', 3: 'f'}[sfmt] }{bits // 8}")
+    offs, cnts = tags[_TAG_STRIP_OFFSETS], tags[_TAG_STRIP_COUNTS]
+    rps = int(tags.get(_TAG_ROWS_PER_STRIP, (height,))[0]) or height
+    strips_per_band = (height + rps - 1) // rps
+    mins: list = [None] * n_bands
+    maxs: list = [None] * n_bands
+
+    def _feed(band: int, vals) -> None:
+        if nodata is not None:
+            vals = vals[vals != nodata]
+        if sfmt == 3:
+            vals = vals[~np.isnan(vals)]
+        if vals.size == 0:
+            return
+        lo, hi = float(vals.min()), float(vals.max())
+        if mins[band] is None or lo < mins[band]:
+            mins[band] = lo
+        if maxs[band] is None or hi > maxs[band]:
+            maxs[band] = hi
+
+    try:
+        for si, (o, c) in enumerate(zip(offs, cnts)):
+            raw = payload[int(o) : int(o) + int(c)]
+            if len(raw) != int(c):
+                return None, None
+            if comp in (8, 32946):
+                raw = zlib.decompress(raw)
+            arr = np.frombuffer(raw, dtype=dt)
+            if planar == 1:
+                if arr.size % (width * n_bands):
+                    return None, None
+                rows = arr.reshape(-1, width, n_bands)
+                if pred == 2:
+                    rows = np.cumsum(rows, axis=1, dtype=rows.dtype)
+                for b in range(n_bands):
+                    _feed(b, rows[:, :, b].ravel())
+            else:
+                band = si // strips_per_band
+                if band >= n_bands or arr.size % width:
+                    return None, None
+                rows = arr.reshape(-1, width)
+                if pred == 2:
+                    rows = np.cumsum(rows, axis=1, dtype=rows.dtype)
+                _feed(band, rows.ravel())
+    except (zlib.error, ValueError):
+        return None, None
+    return mins, maxs
+
+
+def band_dimensions(meta: dict) -> list[dict] | None:
+    """Assemble the reference's per-band ``dimensions`` list
+    (utils.py:82-88: ``{name, min, max, nodata, units}``) from a
+    :func:`decode_geotiff` result. name/units are '' like
+    ``GetDescription()``/``GetUnitType()`` on bare rasters; nodata is
+    int-cast like the reference's ``int(srcband.GetNoDataValue())``."""
+    if meta.get("n_bands") is None:
+        return None
+    mins = meta.get("band_min") or [None] * meta["n_bands"]
+    maxs = meta.get("band_max") or [None] * meta["n_bands"]
+    nodata = meta.get("nodata")
+    return [
+        {
+            "name": "",
+            "min": mins[b],
+            "max": maxs[b],
+            "nodata": int(nodata) if nodata is not None else None,
+            "units": "",
+        }
+        for b in range(meta["n_bands"])
+    ]
 
 
 def encode_geotiff_fixture(
@@ -157,8 +292,22 @@ def encode_geotiff_fixture(
     projected: bool = False,
     nodata: float | None = None,
     byte_order: str = "<",
+    band_base: int | None = None,
+    compression: str = "none",
+    predictor: int = 1,
+    planar: int = 1,
+    rows_per_strip: int | None = None,
 ) -> bytes:
-    """Minimal valid GeoTIFF header bytes (no pixel data) for fixtures."""
+    """Valid GeoTIFF bytes for fixtures.
+
+    Header-only by default (round-3 behaviour). With ``band_base`` set,
+    real uint16 strip pixel data is written: band ``b`` (0-based) holds
+    the ramp ``band_base*(b+1) + r*width + c``; when ``nodata`` is set
+    and the raster has >1 pixel, pixel (0,0) of every band is the
+    nodata value — so per-band min/max are closed-form for the oracle.
+    ``compression``: 'none' | 'deflate'; ``predictor`` 1|2 (horizontal
+    differencing); ``planar`` 1 (chunky) | 2 (per-band strips).
+    """
     bo = byte_order
     entries: list[tuple[int, int, int, bytes]] = [
         (_TAG_WIDTH, _T_LONG, 1, struct.pack(bo + "I", width)),
@@ -184,22 +333,100 @@ def encode_geotiff_fixture(
         s = f"{nodata:g}".encode("ascii") + b"\x00"
         entries.append((_TAG_GDAL_NODATA, _T_ASCII, len(s), s))
 
+    strips: list[bytes] = []
+    if band_base is not None:
+        import zlib
+
+        import numpy as np
+
+        px = np.empty((height, width, n_bands), dtype=bo + "u2")
+        ramp = (np.arange(height * width) % 65536).reshape(height, width)
+        for b in range(n_bands):
+            px[:, :, b] = (band_base * (b + 1) + ramp) % 65536
+        if nodata is not None and height * width > 1:
+            px[0, 0, :] = int(nodata)
+        rps = rows_per_strip or max(1, height // 3)
+
+        def _enc(rows: "np.ndarray") -> bytes:
+            # rows shape (r, width, nb) or (r, width) for planar
+            if predictor == 2:
+                rows = rows.astype(bo + "i8")
+                rows = np.concatenate(
+                    [rows[:, :1], np.diff(rows, axis=1)], axis=1
+                ).astype(bo + "u2")
+            raw = rows.tobytes()
+            return zlib.compress(raw) if compression == "deflate" else raw
+
+        if planar == 1:
+            for r0 in range(0, height, rps):
+                strips.append(_enc(px[r0 : r0 + rps]))
+        else:
+            for b in range(n_bands):
+                for r0 in range(0, height, rps):
+                    strips.append(_enc(px[r0 : r0 + rps, :, b]))
+        comp_code = 8 if compression == "deflate" else 1
+        entries += [
+            (_TAG_BITS, _T_SHORT, n_bands,
+             struct.pack(bo + f"{n_bands}H", *([16] * n_bands))),
+            (_TAG_COMPRESSION, _T_SHORT, 1, struct.pack(bo + "H", comp_code)),
+            (_TAG_ROWS_PER_STRIP, _T_LONG, 1, struct.pack(bo + "I", rps)),
+            (_TAG_PLANAR, _T_SHORT, 1, struct.pack(bo + "H", planar)),
+            (_TAG_SAMPLE_FORMAT, _T_SHORT, n_bands,
+             struct.pack(bo + f"{n_bands}H", *([1] * n_bands))),
+            (_TAG_STRIP_COUNTS, _T_LONG, len(strips),
+             struct.pack(bo + f"{len(strips)}I", *[len(s) for s in strips])),
+        ]
+        if predictor == 2:
+            entries.append(
+                (_TAG_PREDICTOR, _T_SHORT, 1, struct.pack(bo + "H", 2))
+            )
+
     entries.sort(key=lambda e: e[0])  # TIFF requires ascending tag order
+    n_entries = len(entries) + (1 if strips else 0)
     ifd_off = 8
-    data_off = ifd_off + 2 + 12 * len(entries) + 4
+    data_off = ifd_off + 2 + 12 * n_entries + 4
+
+    # lay out the value tail first so strip offsets are known
+    tail = b""
+    packed: list[tuple[int, int, int, bytes, int | None]] = []
+    for tag, typ, cnt, raw in entries:
+        if len(raw) <= 4:
+            packed.append((tag, typ, cnt, raw, None))
+        else:
+            packed.append((tag, typ, cnt, b"", data_off + len(tail)))
+            tail += raw
+    if strips:
+        strip_offs = []
+        base = data_off + len(tail) + 4 * len(strips)
+        pos = base
+        for s in strips:
+            strip_offs.append(pos)
+            pos += len(s)
+        raw = struct.pack(bo + f"{len(strips)}I", *strip_offs)
+        if len(raw) <= 4:
+            packed.append((_TAG_STRIP_OFFSETS, _T_LONG, len(strips), raw, None))
+            tail += b"\x00" * 4  # keep the reserved offset slot stable
+        else:
+            packed.append(
+                (_TAG_STRIP_OFFSETS, _T_LONG, len(strips), b"",
+                 data_off + len(tail))
+            )
+            tail += raw
+        packed.sort(key=lambda e: e[0])
+
     out = io.BytesIO()
     out.write((b"II" if bo == "<" else b"MM") + struct.pack(bo + "HI", 42, ifd_off))
-    out.write(struct.pack(bo + "H", len(entries)))
-    tail = b""
-    for tag, typ, cnt, raw in entries:
+    out.write(struct.pack(bo + "H", n_entries))
+    for tag, typ, cnt, raw, voff in packed:
         out.write(struct.pack(bo + "HHI", tag, typ, cnt))
-        if len(raw) <= 4:
+        if voff is None:
             out.write(raw.ljust(4, b"\x00"))
         else:
-            out.write(struct.pack(bo + "I", data_off + len(tail)))
-            tail += raw
+            out.write(struct.pack(bo + "I", voff))
     out.write(struct.pack(bo + "I", 0))  # next-IFD pointer: none
     out.write(tail)
+    for s in strips:
+        out.write(s)
     return out.getvalue()
 
 

@@ -77,22 +77,178 @@ def canonicalize_url_py(url: str) -> str:
     return head + tail
 
 
-def registered_domain(url: Column) -> Column:
-    """Last two host labels (two-label public-suffix simplification).
+# Multi-label public suffixes (a curated subset of the Mozilla Public
+# Suffix List's most-registered two-label suffixes: ccTLD second-level
+# registries plus the common CentralNic private ones). A host ending in
+# one of these registers at the THIRD label (www.example.co.uk ->
+# example.co.uk); anything else registers at the second label. Rare
+# three-label suffixes (act.edu.au, *.k12.ma.us, ...) are out of this
+# subset's scope and fall back to two labels, documented here.
+PSL_MULTI_SUFFIXES: tuple[str, ...] = (
+    # United Kingdom / Ireland
+    "co.uk", "org.uk", "me.uk", "net.uk", "ac.uk", "gov.uk", "ltd.uk",
+    "plc.uk", "sch.uk", "nhs.uk", "police.uk", "mod.uk",
+    # Australia / New Zealand
+    "com.au", "net.au", "org.au", "edu.au", "gov.au", "asn.au", "id.au",
+    "co.nz", "net.nz", "org.nz", "govt.nz", "ac.nz", "school.nz",
+    "geek.nz", "gen.nz", "kiwi.nz", "maori.nz", "iwi.nz", "mil.nz",
+    # Africa
+    "co.za", "net.za", "org.za", "gov.za", "ac.za", "web.za", "edu.za",
+    "co.ke", "or.ke", "ne.ke", "go.ke", "ac.ke", "sc.ke", "info.ke",
+    "me.ke", "mobi.ke",
+    "co.tz", "or.tz", "ne.tz", "go.tz", "ac.tz", "sc.tz",
+    "co.ug", "or.ug", "ne.ug", "go.ug", "ac.ug", "sc.ug",
+    "com.gh", "org.gh", "gov.gh", "edu.gh",
+    "com.ng", "net.ng", "org.ng", "gov.ng", "edu.ng", "sch.ng",
+    "name.ng", "mobi.ng",
+    "com.eg", "net.eg", "org.eg", "gov.eg", "edu.eg", "sci.eg",
+    "co.ma", "net.ma", "org.ma", "gov.ma", "ac.ma", "press.ma",
+    # Americas
+    "com.br", "net.br", "org.br", "gov.br", "edu.br", "mil.br",
+    "art.br", "blog.br", "eco.br", "adv.br", "ind.br", "inf.br",
+    "com.mx", "net.mx", "org.mx", "gob.mx", "edu.mx",
+    "com.ar", "net.ar", "org.ar", "gob.ar", "edu.ar", "int.ar",
+    "mil.ar", "tur.ar",
+    "com.co", "net.co", "org.co", "gov.co", "edu.co", "nom.co",
+    "mil.co",
+    "com.pe", "net.pe", "org.pe", "gob.pe", "edu.pe", "mil.pe",
+    "nom.pe",
+    "gob.cl", "gov.cl", "mil.cl",
+    "com.ve", "net.ve", "org.ve", "gob.ve", "edu.ve", "mil.ve",
+    "com.ec", "net.ec", "org.ec", "gob.ec", "edu.ec", "mil.ec",
+    "fin.ec", "med.ec", "pro.ec", "info.ec",
+    "com.uy", "net.uy", "org.uy", "gub.uy", "edu.uy", "mil.uy",
+    "com.bo", "net.bo", "org.bo", "gob.bo", "edu.bo", "mil.bo",
+    "com.py", "net.py", "org.py", "gov.py", "edu.py", "mil.py",
+    "com.gt", "net.gt", "org.gt", "gob.gt", "edu.gt", "mil.gt",
+    "com.do", "net.do", "org.do", "gob.do", "edu.do", "mil.do",
+    "web.do", "art.do",
+    "com.sv", "gob.sv", "org.sv", "edu.sv", "red.sv",
+    "com.pa", "net.pa", "org.pa", "gob.pa", "edu.pa", "ac.pa",
+    "co.cr", "fi.cr", "go.cr", "or.cr", "sa.cr", "ac.cr", "ed.cr",
+    "com.ni", "gob.ni", "edu.ni", "org.ni", "net.ni",
+    "com.hn", "net.hn", "org.hn", "gob.hn", "edu.hn", "mil.hn",
+    "gc.ca",
+    # Asia
+    "co.jp", "ne.jp", "or.jp", "go.jp", "ac.jp", "ad.jp", "ed.jp",
+    "gr.jp", "lg.jp",
+    "co.kr", "ne.kr", "or.kr", "go.kr", "ac.kr", "re.kr", "pe.kr",
+    "ms.kr", "es.kr", "hs.kr", "sc.kr", "kg.kr", "mil.kr",
+    "com.cn", "net.cn", "org.cn", "gov.cn", "edu.cn", "ac.cn",
+    "mil.cn", "ah.cn", "bj.cn", "gd.cn", "sh.cn", "tj.cn", "zj.cn",
+    "com.tw", "net.tw", "org.tw", "edu.tw", "gov.tw", "idv.tw",
+    "game.tw", "club.tw", "ebiz.tw", "mil.tw",
+    "com.hk", "net.hk", "org.hk", "edu.hk", "gov.hk", "idv.hk",
+    "co.in", "net.in", "org.in", "gen.in", "firm.in", "ind.in",
+    "gov.in", "ac.in", "edu.in", "res.in", "nic.in", "mil.in",
+    "co.th", "net.th", "or.th", "go.th", "ac.th", "in.th", "mi.th",
+    "com.vn", "net.vn", "org.vn", "gov.vn", "edu.vn", "int.vn",
+    "ac.vn", "biz.vn", "info.vn", "name.vn", "pro.vn", "health.vn",
+    "co.id", "net.id", "or.id", "go.id", "ac.id", "sch.id", "web.id",
+    "my.id", "biz.id", "desa.id", "ponpes.id", "mil.id",
+    "com.my", "net.my", "org.my", "gov.my", "edu.my", "mil.my",
+    "name.my",
+    "com.sg", "net.sg", "org.sg", "gov.sg", "edu.sg", "per.sg",
+    "com.ph", "net.ph", "org.ph", "gov.ph", "edu.ph", "ngo.ph",
+    "mil.ph", "i.ph",
+    "com.pk", "net.pk", "org.pk", "gov.pk", "edu.pk", "fam.pk",
+    "web.pk", "biz.pk", "gok.pk", "gop.pk", "gos.pk", "gob.pk",
+    "com.bd", "net.bd", "org.bd", "gov.bd", "edu.bd", "ac.bd",
+    "mil.bd",
+    "com.lk", "net.lk", "org.lk", "gov.lk", "edu.lk", "sch.lk",
+    "ac.lk", "int.lk", "ngo.lk", "soc.lk", "web.lk",
+    "com.np", "net.np", "org.np", "gov.np", "edu.np", "mil.np",
+    "aero.np",
+    "co.ir", "net.ir", "org.ir", "gov.ir", "ac.ir", "id.ir", "sch.ir",
+    "com.sa", "net.sa", "org.sa", "gov.sa", "edu.sa", "med.sa",
+    "sch.sa", "pub.sa",
+    "co.ae", "net.ae", "org.ae", "gov.ae", "ac.ae", "sch.ae", "mil.ae",
+    "com.kw", "net.kw", "org.kw", "gov.kw", "edu.kw", "ind.kw",
+    "com.qa", "net.qa", "org.qa", "gov.qa", "edu.qa", "mil.qa",
+    "name.qa", "sch.qa",
+    "com.bh", "net.bh", "org.bh", "gov.bh", "edu.bh",
+    "com.om", "net.om", "org.om", "gov.om", "edu.om", "med.om",
+    "museum.om", "pro.om",
+    "com.jo", "net.jo", "org.jo", "gov.jo", "edu.jo", "mil.jo",
+    "name.jo", "sch.jo",
+    "com.lb", "net.lb", "org.lb", "gov.lb", "edu.lb",
+    "com.kz", "org.kz", "edu.kz", "gov.kz", "mil.kz", "net.kz",
+    "com.uz", "co.uz", "net.uz", "org.uz",
+    # Europe
+    "com.ua", "net.ua", "org.ua", "gov.ua", "edu.ua", "in.ua",
+    "kiev.ua", "kyiv.ua", "lviv.ua", "odessa.ua", "kharkov.ua",
+    "com.pl", "net.pl", "org.pl", "edu.pl", "gov.pl", "waw.pl",
+    "info.pl", "biz.pl", "mil.pl",
+    "com.tr", "net.tr", "org.tr", "gov.tr", "edu.tr", "gen.tr",
+    "bel.tr", "web.tr", "av.tr", "dr.tr", "k12.tr", "name.tr",
+    "pol.tr", "mil.tr", "tsk.tr", "bbs.tr", "biz.tr", "info.tr",
+    "tel.tr", "tv.tr",
+    "co.il", "net.il", "org.il", "gov.il", "ac.il", "muni.il",
+    "k12.il", "idf.il",
+    "com.ru", "net.ru", "org.ru", "msk.ru", "spb.ru", "int.ru",
+    "gouv.fr", "asso.fr", "com.fr", "nom.fr", "prd.fr", "tm.fr",
+    "avocat.fr", "aeroport.fr",
+    "com.es", "nom.es", "org.es", "gob.es", "edu.es",
+    "com.pt", "edu.pt", "gov.pt", "int.pt", "net.pt", "nome.pt",
+    "org.pt", "publ.pt",
+    "com.gr", "net.gr", "org.gr", "edu.gr", "gov.gr",
+    "com.ro", "org.ro", "tm.ro", "nt.ro", "nom.ro", "info.ro",
+    "rec.ro", "arts.ro", "firm.ro", "store.ro", "www.ro",
+    "co.at", "or.at", "gv.at", "ac.at", "priv.at",
+    "co.hu", "org.hu", "info.hu", "priv.hu", "sport.hu", "tm.hu",
+    "2000.hu", "agrar.hu", "bolt.hu", "city.hu", "film.hu",
+    "forum.hu", "games.hu", "hotel.hu", "news.hu", "shop.hu",
+    "suli.hu", "sex.hu", "szex.hu", "media.hu", "lakas.hu",
+    "ingatlan.hu", "konyvelo.hu", "erotica.hu", "erotika.hu",
+    "casino.hu", "jogasz.hu", "reklam.hu", "tozsde.hu", "utazas.hu",
+    "video.hu",
+    "ac.be", "gov.it", "edu.it", "co.nl",
+    "co.gg", "net.gg", "org.gg", "co.je", "net.je", "org.je",
+    "co.im", "net.im", "org.im", "ac.im", "com.im", "tt.im", "tv.im",
+    # CentralNic-style private second-level registries
+    "uk.com", "us.com", "eu.com", "de.com", "gb.net", "uk.net",
+    "se.net", "jpn.com", "za.com", "br.com", "cn.com", "hu.com",
+    "no.com", "qc.com", "sa.com", "ru.com", "uy.com", "ar.com",
+    "gr.com", "kr.com", "us.org", "co.com", "mex.com", "web.com",
+    "africa.com", "in.net",
+)
 
-    A real deployment swaps this for a public-suffix-list pandas UDF;
-    the synthetic corpus only uses ``*.example.org``-shaped hosts.
+_PSL_SET = frozenset(PSL_MULTI_SUFFIXES)
+_TWO_RE = r"([^.]+\.[^.]+)$"
+_THREE_RE = r"([^.]+\.[^.]+\.[^.]+)$"
+
+
+def registered_domain(url: Column) -> Column:
+    """Registered (registrable) domain of the URL's host.
+
+    Public-suffix aware: a host whose last TWO labels form a known
+    multi-label suffix (``PSL_MULTI_SUFFIXES`` — co.uk, com.au,
+    co.jp, ...) keeps THREE labels; every other host keeps two. The
+    suffix test is ``isin`` over the literal set — Catalyst compiles
+    it to an O(1) InSet hash probe, NOT a 380-way regex alternation —
+    so this stays cheap on the crawl expand hot path. Suffixes outside
+    the curated subset fall back to two labels.
     """
     host = F.lower(F.parse_url(url, F.lit("HOST")))
-    return F.regexp_extract(host, r"([^.]+\.[^.]+)$", 1)
+    two = F.regexp_extract(host, _TWO_RE, 1)
+    three = F.regexp_extract(host, _THREE_RE, 1)
+    return F.when(two.isin(*_PSL_SET) & (three != ""), three).otherwise(two)
+
+
+def host_registered_domain_py(host: str) -> str:
+    host = (host or "").lower()
+    parts = host.rsplit(".", 3)
+    if len(parts) >= 3 and ".".join(parts[-2:]) in _PSL_SET:
+        return ".".join(parts[-3:])
+    m2 = re.search(_TWO_RE, host)
+    return m2.group(1) if m2 else host
 
 
 def registered_domain_py(url: str) -> str:
     m = re.match(r"^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]*)", url)
     host = (m.group(1) if m else "").lower()
     host = host.split("@")[-1].split(":")[0]
-    m2 = re.search(r"([^.]+\.[^.]+)$", host)
-    return m2.group(1) if m2 else host
+    return host_registered_domain_py(host)
 
 
 def url_depth(url: Column) -> Column:

@@ -33,6 +33,8 @@ from __future__ import annotations
 
 import os
 
+from pygeodatacrawler_spark.functions.urls import host_registered_domain_py
+
 
 def default_user_agent(version: str = "", contact: str | None = None) -> str:
     """The reference's UA template (utils.py:855-856)."""
@@ -74,10 +76,10 @@ def make_http_fetch_fn(
                 out_urls, out_html = [], []
                 for url in pdf["url"]:
                     host = urlparse(url).hostname or ""
-                    # delays are keyed on registered_domain (last two
-                    # host labels, functions/urls.py:80); fall back to
+                    # delays are keyed on registered_domain (public-
+                    # suffix aware, functions/urls.py); fall back to
                     # the full hostname for localhost-style keys
-                    reg = ".".join(host.rsplit(".", 2)[-2:])
+                    reg = host_registered_domain_py(host)
                     delay = delays.get(host, delays.get(reg, 0.0))
                     if delay > 0:
                         wait = last_hit.get(host, -delay) + delay - time.monotonic()

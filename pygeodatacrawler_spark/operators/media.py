@@ -44,12 +44,14 @@ DBF_TYPE = "application/x-dbf"
 MEDIA_META_SCHEMA = (
     "media_type string, n_bytes long, width int, height int, "
     "n_bands int, epsg string, nodata double, bounds array<double>, "
+    "band_min array<double>, band_max array<double>, "
     "title string, creator string, keywords string, n_sheets int, "
     "geomtype string, n_features int, attrs string"
 )
 
 _META_KEYS = [
     "width", "height", "n_bands", "epsg", "nodata", "bounds",
+    "band_min", "band_max",
     "title", "creator", "keywords", "n_sheets",
     "geomtype", "n_features", "attrs",
 ]

@@ -123,6 +123,7 @@ class CrawlEngine:
         salt_threshold: int = 1000,
         fetch_fn=None,
         bloom_min_frontier: int = 4_000_000,
+        levels_per_commit: int = 1,
     ):
         self.spark = spark
         self.pages = pages
@@ -209,6 +210,17 @@ class CrawlEngine:
         # frontier spills rather than OOMs) and keeps the two in sync.
         self._frontier_df: DataFrame | None = None
         self._frontier_prev: DataFrame | None = None
+        # fused rounds: process N BFS levels per snapshot commit. The
+        # per-level pipeline is unchanged (level k+1's pending view is
+        # exactly what the frontier would contain after committing
+        # level k: (pending - batch_k) ∪ new_links_k), so records,
+        # visit ordering, and the final frontier are BYTE-IDENTICAL to
+        # N sequential single-level rounds — only the fixed per-commit
+        # floor (2 snapshot writes, lineage fsync, cache maintenance)
+        # is paid once per N levels instead of once per level. Resume
+        # granularity coarsens to N levels; reconcile() still replays
+        # a killed fused round deterministically from the last line.
+        self.levels_per_commit = max(1, levels_per_commit)
 
     # -- bootstrap ---------------------------------------------------------
     def init_from_seeds(self, seeds: DataFrame) -> None:
@@ -236,9 +248,14 @@ class CrawlEngine:
         )
 
     def resume_round(self) -> int:
-        """Next round number implied by committed lineage (for resume)."""
-        rounds = [l["round"] for l in self._read_lineage() if l["round"] >= 0]
-        return max(rounds) + 1 if rounds else 0
+        """Next round number implied by committed lineage (for resume).
+        A fused line covering N levels advances the counter by N."""
+        nxt = [
+            l["round"] + l.get("levels", 1)
+            for l in self._read_lineage()
+            if l["round"] >= 0
+        ]
+        return max(nxt) if nxt else 0
 
     def reconcile(self) -> None:
         """Roll back table versions newer than the last committed
@@ -364,15 +381,9 @@ class CrawlEngine:
         return self._bloom
 
     # -- one round ---------------------------------------------------------
-    def run_round(self, round_no: int) -> dict:
-        t0 = time.monotonic()
-        if self._frontier_df is None:  # fresh engine / post-reconcile
-            self._frontier_df = self.frontier.read().cache()
-        frontier = self._frontier_df
-        if self._n_frontier is None:
-            self._n_frontier = frontier.count()  # resume path
-        pending = frontier.filter(F.col("state") == "pending")
-
+    def _pick_level_batch(self, pending: DataFrame) -> DataFrame:
+        """One level's fetch batch: politeness + priority + salt +
+        fetch-width repartition (cached — one per level)."""
         # pick_batch caps every host at host_budget rows, so no host can
         # exceed the heavy threshold unless the budget itself does — a
         # driver-side check that skips the salt window entirely in the
@@ -393,8 +404,10 @@ class CrawlEngine:
         batch = repartition_for_fetch(
             batch, est_rows=self._last_batch or self._n_frontier
         )
-        batch = batch.select(*FRONTIER_COLS, "host_rank", "salt").cache()
+        extra = ["_new"] if "_new" in batch.columns else []
+        return batch.select(*FRONTIER_COLS, "host_rank", "salt", *extra).cache()
 
+    def _level_records(self, batch: DataFrame, round_no: int) -> DataFrame:
         # fetch (HTTP stand-in): probe the pages store with the batch keys.
         # The batch side is tiny (hosts x budget keys) -> broadcast it and
         # INNER-join so the big pages side is a map-only scan-probe (no
@@ -469,9 +482,128 @@ class CrawlEngine:
                 "canon_url",
                 "left",
             )
+        return records.withColumn("round", F.lit(round_no))
+
+    def _level_new_links(
+        self,
+        records: DataFrame,
+        round_no: int,
+        frontier: DataFrame,
+        bloom: DataFrame | None,
+        prior_new_links: list[DataFrame],
+    ) -> DataFrame:
+        """Expand one level's records into seen-filtered new frontier
+        rows. ``bloom`` is the round's shared seen-bloom (None below
+        the exact-anti-join threshold); ``prior_new_links`` are the
+        same fused round's earlier levels' discoveries — committed
+        state in a sequential run, in-flight DataFrames here — which
+        the exact anti-join chain below treats identically."""
+        links = (
+            records.select("depth", F.explode_outer("links").alias("link"))
+            .filter(F.col("link").isNotNull())
+            .select(
+                canonicalize_url(F.col("link")).alias("canon_url"),
+                F.col("link").alias("url"),
+                (F.col("depth") + 1).cast("int").alias("depth"),
+            )
+            .withColumn("url_hash", url_hash(F.col("canon_url")))
+            .withColumn("registered_domain", registered_domain(F.col("canon_url")))
+            .withColumn("discovery_ts", F.lit(round_no + 1).cast("long"))
+            .withColumn("state", F.lit("pending"))
+        )
+        links = _min_row_per_hash(links)
+
+        # seen filter. Large frontier: bloom prefilter turns the seen
+        # check into a map-only stage for the definitely-new majority,
+        # exact anti-join only on the maybes (parity stays exact).
+        # Small frontier: the anti-join alone is cheaper than building
+        # and shipping bitmaps — adaptive, like the reference checking
+        # os.path.exists only because it is cheap.
+        if bloom is not None:
+            # physical strategy from geometry alone (driver-side math,
+            # no extra job): small total bitmap -> broadcast (map-only
+            # probe); big -> bucket-co-partitioned cogroup, which never
+            # collects bitmaps to the driver (the 10^10-key path)
+            m_bits, _ = self._bloom_geom
+            via = (
+                "cogroup"
+                if m_bits // 8 * self.bloom_buckets > BROADCAST_MAX_BITMAP_BYTES
+                else "broadcast"
+            )
+            probed = probe_bloom(links, bloom, n_buckets=self.bloom_buckets, via=via)
+            definitely_new = probed.filter(~F.col("maybe_seen")).drop("maybe_seen")
+            maybes = probed.filter(F.col("maybe_seen")).drop("maybe_seen")
+            confirmed_new = maybes.join(
+                frontier.select("url_hash"), "url_hash", "left_anti"
+            )
+            new_links = definitely_new.unionByName(confirmed_new)
+        else:
+            new_links = links.join(
+                frontier.select("url_hash"), "url_hash", "left_anti"
+            )
+        for prior in prior_new_links:
+            new_links = new_links.join(
+                prior.select("url_hash"), "url_hash", "left_anti"
+            )
+        return new_links
+
+    def run_round(self, round_no: int) -> dict:
+        """One committed crawl round: ``levels_per_commit`` BFS levels
+        through pick -> fetch+extract -> expand -> seen-filter, then ONE
+        records append + ONE frontier merge + ONE lineage line."""
+        t0 = time.monotonic()
+        if self._frontier_df is None:  # fresh engine / post-reconcile
+            self._frontier_df = self.frontier.read().cache()
+        frontier = self._frontier_df
+        if self._n_frontier is None:
+            self._n_frontier = frontier.count()  # resume path
+        pending = frontier.filter(F.col("state") == "pending")
+
+        levels = self.levels_per_commit
+        if levels > 1:
+            # origin tag for the new-key Observation on the delta write:
+            # rows already in the committed frontier carry 0; this fused
+            # round's in-flight discoveries carry 1
+            pending = pending.withColumn("_new", F.lit(0))
+        use_bloom = self._n_frontier >= self.bloom_min_frontier
+        bloom = self._current_bloom(frontier) if use_bloom else None
+        batches: list[DataFrame] = []
+        records_parts: list[DataFrame] = []
+        new_links_parts: list[DataFrame] = []
+        tmp_caches: list[DataFrame] = []
+        for li in range(levels):
+            rno = round_no + li
+            batch = self._pick_level_batch(pending)
+            batches.append(batch)
+            rec = self._level_records(batch, rno)
+            if li < levels - 1:
+                # later levels expand THIS level's links: cache so the
+                # fetch/extract UDF runs once (materialized by the first
+                # shuffle that consumes it inside the append job), never
+                # re-fetching a URL
+                rec = rec.cache()
+                tmp_caches.append(rec)
+            records_parts.append(rec)
+            new_links = self._level_new_links(
+                rec, rno, frontier, bloom, new_links_parts
+            )
+            new_links_parts.append(new_links)
+            if li < levels - 1:
+                # next level's pending view == the frontier's pending
+                # rows had this level been committed (exact parity)
+                pending = pending.join(
+                    batch.select("url_hash"), "url_hash", "left_anti"
+                ).unionByName(
+                    new_links.select(*FRONTIER_COLS).withColumn(
+                        "_new", F.lit(1)
+                    )
+                )
+
+        records = records_parts[0]
+        for part in records_parts[1:]:
+            records = records.unionByName(part)
         records = (
-            records.withColumn("round", F.lit(round_no))
-            .withColumn("text_sha2", F.sha2(F.coalesce(F.col("text"), F.lit("")), 256))
+            records.withColumn("text_sha2", F.sha2(F.coalesce(F.col("text"), F.lit("")), 256))
             # fetch latency: with a real HTTP fetch the mapInPandas UDF
             # stamps measured wall-ms per URL; the stand-in derives a
             # deterministic value from key + payload size (misses = the
@@ -504,6 +636,10 @@ class CrawlEngine:
             ).alias("lat_500"),
             F.count(F.when(F.col("fetch_ms") >= 500, 1)).alias("lat_inf"),
             F.round(F.avg("fetch_ms"), 2).alias("lat_mean"),
+            # levels that actually fetched (a fused round's trailing
+            # level can be empty at convergence) — same free ride on
+            # the append action
+            F.max("round").alias("max_round"),
         )
         # one record row per batch row by construction (1:1 left joins);
         # missing pages carry null text
@@ -535,99 +671,72 @@ class CrawlEngine:
         if n_batch == 0:
             # nothing pending: drop the empty version, converged
             self.records.rollback(prev_records_v)
-            batch.unpersist()
+            for df in batches + tmp_caches:
+                df.unpersist()
             records.unpersist()
-            return {"round": round_no, "rows_in": 0, "rows_out": 0, "done": True}
+            return {
+                "round": round_no, "rows_in": 0, "rows_out": 0,
+                "levels": levels, "done": True,
+            }
         n_records = n_batch
         self._last_batch = n_batch
         n_parts = len(file_rows)
         skew = max(file_rows) / (n_batch / n_parts)
 
-        # expand: new links -> candidate frontier rows
-        links = (
-            records.select("depth", F.explode_outer("links").alias("link"))
-            .filter(F.col("link").isNotNull())
-            .select(
-                canonicalize_url(F.col("link")).alias("canon_url"),
-                F.col("link").alias("url"),
-                (F.col("depth") + 1).cast("int").alias("depth"),
-            )
-            .withColumn("url_hash", url_hash(F.col("canon_url")))
-            .withColumn("registered_domain", registered_domain(F.col("canon_url")))
-            .withColumn("discovery_ts", F.lit(round_no + 1).cast("long"))
-            .withColumn("state", F.lit("pending"))
-        )
-        links = _min_row_per_hash(links)
-
-        # seen filter. Large frontier: bloom prefilter turns the seen
-        # check into a map-only stage for the definitely-new majority,
-        # exact anti-join only on the maybes (parity stays exact).
-        # Small frontier: the anti-join alone is cheaper than building
-        # and shipping bitmaps — adaptive, like the reference checking
-        # os.path.exists only because it is cheap.
-        use_bloom = self._n_frontier >= self.bloom_min_frontier
-        if use_bloom:
-            bloom = self._current_bloom(frontier)
-            # physical strategy from geometry alone (driver-side math,
-            # no extra job): small total bitmap -> broadcast (map-only
-            # probe); big -> bucket-co-partitioned cogroup, which never
-            # collects bitmaps to the driver (the 10^10-key path)
-            m_bits, _ = self._bloom_geom
-            via = (
-                "cogroup"
-                if m_bits // 8 * self.bloom_buckets > BROADCAST_MAX_BITMAP_BYTES
-                else "broadcast"
-            )
-            probed = probe_bloom(links, bloom, n_buckets=self.bloom_buckets, via=via)
-            definitely_new = probed.filter(~F.col("maybe_seen")).drop("maybe_seen")
-            maybes = probed.filter(F.col("maybe_seen")).drop("maybe_seen")
-            confirmed_new = maybes.join(
-                frontier.select("url_hash"), "url_hash", "left_anti"
-            )
-            new_links = definitely_new.unionByName(confirmed_new)
-        else:
-            new_links = links.join(
-                frontier.select("url_hash"), "url_hash", "left_anti"
+        # commit: frontier MERGE is an O(batch) delta append. Delta
+        # rows, one per key (disjoint by construction):
+        #   - every level's batch, state=fetched (keys discovered by an
+        #     earlier level of this same fused round included — they
+        #     enter the frontier already fetched);
+        #   - each level's new links NOT picked by a later level's
+        #     batch, state=pending.
+        # The expand->seen pipeline runs ONCE, inside this write. The
+        # new-key count rides an Observation on the same write action
+        # (the footer math `delta_rows - n_batch` undercounts by the
+        # new-then-fetched keys when levels > 1), zero extra jobs.
+        def _as_fetched(b: DataFrame) -> DataFrame:
+            # a batch row adds a NEW key iff an earlier level of this
+            # fused round discovered it (never in the committed frontier)
+            nk = F.col("_new") if "_new" in b.columns else F.lit(0)
+            return (
+                b.withColumn("_nk", nk)
+                .withColumn("state", F.lit("fetched"))
+                .select(*FRONTIER_COLS, "_nk")
             )
 
-        # commit: frontier MERGE is an O(batch) delta append (fetched
-        # state flips + new pendings; disjoint keys by construction).
-        # The extract->expand->seen pipeline runs ONCE, inside this
-        # write — no separate count() action re-running it; the new-link
-        # count comes from the committed delta's parquet footers
-        # (driver-side metadata, zero Spark jobs).
-        fetched_rows = batch.select(*FRONTIER_COLS).withColumn(
-            "state", F.lit("fetched")
-        )
+        delta_in = _as_fetched(batches[0])
+        for b in batches[1:]:
+            delta_in = delta_in.unionByName(_as_fetched(b))
+        for j, nl in enumerate(new_links_parts):
+            rows = nl
+            for later in batches[j + 1 :]:
+                rows = rows.join(later.select("url_hash"), "url_hash", "left_anti")
+            delta_in = delta_in.unionByName(
+                rows.select(*FRONTIER_COLS).withColumn("_nk", F.lit(1))
+            )
+        obs_new = Observation(f"newkeys-r{round_no}")
+        delta_in = delta_in.observe(
+            obs_new, F.sum("_nk").alias("n_new")
+        ).select(*FRONTIER_COLS)
         # delta file width sized to the batch (known from footers): a
         # tiny tail round writing 32 near-empty files pays pure commit
         # overhead; a big round at width 4 collapses the write stage
         self.frontier.delta_partitions = max(4, min(32, n_batch // 500))
-        frontier_v = self.frontier.merge_upsert(
-            fetched_rows.unionByName(new_links),
-            current=frontier,
-        )
+        frontier_v = self.frontier.merge_upsert(delta_in, current=frontier)
         delta_v = self.frontier.last_delta_version
-        if delta_v is not None:
-            # delta = n_batch state flips + the new pendings
-            n_new = self.frontier.version_rows(delta_v) - n_batch
-        else:  # COW fallback (first write): full table = old + new
-            n_new = self.frontier.version_rows(frontier_v) - self._n_frontier
+        n_new = int(obs_new.get["n_new"] or 0)
         self._n_frontier += n_new
         # fold this round's delta into the seen-bloom NEXT round
         # (O(batch) incremental update instead of a full rebuild)
         self._bloom_pending_delta = delta_v
 
-        # maintain the resolved-frontier cache incrementally: flip the
-        # fetched keys' state via a broadcast join against the committed
-        # delta (O(batch) side) and union the delta's new pendings —
-        # NO merge-on-read window, no frontier rescan. Reading the flip
-        # keys back from the delta files (not from `batch`) keeps the
-        # next frontier's lineage anchored on disk, so an evicted cache
-        # replays a cheap scan instead of the whole fetch pipeline.
-        # delta keys are disjoint by construction (flips ⊂ frontier,
-        # pendings anti-joined against it), so apply-delta == the
-        # last-writer-wins resolve the disk read() would compute.
+        # maintain the resolved-frontier cache incrementally: apply the
+        # committed delta last-writer-wins (broadcast O(batch) anti-join
+        # on the delta keys + union of the delta rows) — NO merge-on-
+        # read window, no frontier rescan. Reading the delta back from
+        # its files (not from `batch`) keeps the next frontier's lineage
+        # anchored on disk, so an evicted cache replays a cheap scan
+        # instead of the whole fetch pipeline.
         compacted = delta_v is None or frontier_v != delta_v
         if self._frontier_prev is not None:
             self._frontier_prev.unpersist()
@@ -639,34 +748,28 @@ class CrawlEngine:
             self._frontier_df = self.frontier.read().cache()
         else:
             delta = self.frontier.read_version_only(delta_v)
-            flip_keys = (
-                delta.filter(F.col("state") == "fetched")
-                .select("url_hash")
-                .withColumn("_flip", F.lit(True))
-            )
-            flipped = (
-                frontier.join(F.broadcast(flip_keys), "url_hash", "left")
-                .withColumn(
-                    "state",
-                    F.when(F.col("_flip"), F.lit("fetched")).otherwise(
-                        F.col("state")
-                    ),
-                )
-                .drop("_flip")
-                .select(*FRONTIER_COLS)
-            )
-            new_pending = delta.filter(F.col("state") == "pending").select(
-                *FRONTIER_COLS
+            kept = frontier.join(
+                F.broadcast(delta.select("url_hash")), "url_hash", "left_anti"
             )
             self._frontier_prev = self._frontier_df
-            self._frontier_df = flipped.unionByName(new_pending).cache()
+            self._frontier_df = kept.unionByName(
+                delta.select(*FRONTIER_COLS)
+            ).cache()
 
         # lineage: partition balance came from the records version's
         # parquet footers (north-rule metrics, no extra action)
         lat_metrics = obs.get  # already materialized by the append job
+        # levels that actually produced records (trailing empty level
+        # at convergence is not counted as a crawled BFS level)
+        levels_done = (
+            int(lat_metrics["max_round"]) - round_no + 1
+            if lat_metrics["max_round"] is not None
+            else levels
+        )
         wall = time.monotonic() - t0
         line = {
             "round": round_no,
+            "levels": levels_done,
             "rows_in": n_batch,
             "rows_out": n_new,
             "n_records": n_records,
@@ -693,9 +796,10 @@ class CrawlEngine:
             "records_v": records_v,
         }
         self._append_lineage(line)
-        batch.unpersist()
+        for df in batches + tmp_caches:
+            df.unpersist()
         records.unpersist()
-        self.stats.rounds += 1
+        self.stats.rounds += levels_done
         self.stats.urls_fetched += n_batch
         self.stats.urls_discovered += n_new
         self.stats.lineage.append(line)
@@ -722,8 +826,10 @@ class CrawlEngine:
     def run(self, max_rounds: int = 100) -> CrawlStats:
         self.reconcile()
         start = self.resume_round()
-        for r in range(start, start + max_rounds):
+        r = start
+        while r < start + max_rounds:
             res = self.run_round(r)
             if res.get("done") or res["rows_in"] == 0:
                 break
+            r += res.get("levels", 1)
         return self.stats

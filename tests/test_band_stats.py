@@ -1,0 +1,97 @@
+"""Per-band raster statistics (S4/A2): the reference's
+``srcband.ComputeStatistics(0)`` pass (utils.py:73-88) recomputed from
+strip data — fixture roundtrips over every supported layout, and the
+reference repo's own demo GeoTIFF pinned to its published golden
+values (tests/test_geodatacrawler.py:19-20: band[0] min 2566 max
+6598)."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from pygeodatacrawler_spark.functions.media_codecs import (
+    band_dimensions,
+    decode_geotiff,
+    encode_geotiff_fixture,
+)
+
+REF_GRID = "/root/reference/demo/grid"
+
+
+def test_band_stats_all_layouts():
+    for comp in ("none", "deflate"):
+        for pred in (1, 2):
+            for planar in (1, 2):
+                for bo in ("<", ">"):
+                    b = encode_geotiff_fixture(
+                        width=7, height=5, n_bands=3, nodata=4.0,
+                        byte_order=bo, band_base=100,
+                        compression=comp, predictor=pred,
+                        planar=planar, rows_per_strip=2,
+                    )
+                    m = decode_geotiff(b)
+                    # ramp 100b..100b+34 per band, (0,0) is nodata
+                    assert m["band_min"] == [101.0, 201.0, 301.0], (
+                        comp, pred, planar, bo)
+                    assert m["band_max"] == [134.0, 234.0, 334.0]
+
+
+def test_band_stats_single_pixel_and_headeronly():
+    m = decode_geotiff(
+        encode_geotiff_fixture(width=1, height=1, n_bands=2,
+                               nodata=9.0, band_base=50)
+    )
+    # single pixel: the nodata pixel is not written, ramp value stands
+    assert m["band_min"] == [50.0, 100.0]
+    assert m["band_max"] == [50.0, 100.0]
+    # header-only tiff (round-3 fixtures): no stats, not wrong stats
+    m2 = decode_geotiff(encode_geotiff_fixture(width=3, height=2))
+    assert m2["band_min"] is None and m2["band_max"] is None
+    assert m2["width"] == 3
+
+
+def test_band_stats_all_nodata_band():
+    # every pixel nodata -> that band reports None like GDAL's failed
+    # ComputeStatistics, never a fabricated number
+    b = encode_geotiff_fixture(width=1, height=2, n_bands=1,
+                               nodata=7.0, band_base=100)
+    import numpy as np  # craft: overwrite both pixels with nodata
+
+    m = decode_geotiff(b)
+    assert m["band_min"] == [101.0]  # sanity: normal fixture first
+    # all-nodata variant: base ramp replaced via a 1x1 raster whose
+    # single pixel IS nodata (nodata_pixel skipped only when wh==1,
+    # so force it through a 2-pixel custom payload)
+    raw = bytearray(b)
+    # find the uncompressed strip (tail of file): 2 uint16 little-endian
+    vals = np.frombuffer(bytes(raw[-4:]), dtype="<u2").copy()
+    vals[:] = 7
+    raw[-4:] = vals.tobytes()
+    m2 = decode_geotiff(bytes(raw))
+    assert m2["band_min"] == [None] and m2["band_max"] == [None]
+
+
+def test_band_dimensions_reference_shape():
+    b = encode_geotiff_fixture(width=4, height=3, n_bands=2,
+                               nodata=3.0, band_base=10)
+    dims = band_dimensions(decode_geotiff(b))
+    assert dims == [
+        {"name": "", "min": 11.0, "max": 21.0, "nodata": 3, "units": ""},
+        {"name": "", "min": 21.0, "max": 31.0, "nodata": 3, "units": ""},
+    ]
+
+
+@pytest.mark.skipif(not os.path.exists(REF_GRID), reason="no reference demo")
+def test_reference_demo_golden():
+    """The reference's own pytest golden (test_geodatacrawler.py:19-20):
+    demo/grid/00002.tif band 0 has min 2566, max 6598."""
+    with open(f"{REF_GRID}/00002.tif", "rb") as f:
+        m = decode_geotiff(f.read())
+    assert m["width"] == 200 and m["height"] == 200 and m["n_bands"] == 4
+    assert m["epsg"] == "EPSG:32736"
+    dims = band_dimensions(m)
+    assert dims[0]["min"] == 2566
+    assert dims[0]["max"] == 6598
+    assert dims[0]["nodata"] == -32768

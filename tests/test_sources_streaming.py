@@ -44,17 +44,42 @@ def test_paginated_source(spark):
 
 
 def test_export_profiles(spark):
+    import json as _json
+    from xml.etree import ElementTree as ET
+
     pages, _, _ = load_pages(spark, n_pages=60, n_hosts=3)
     recs = valid_records(harvest_metadata(pages))
+    n = recs.count()
+
     js = export_records(recs, "json").collect()
-    xml = export_records(recs, "xml").collect()
-    assert len(js) == len(xml) == recs.count()
+    assert len(js) == n
     for r in js:
         assert r["filename"].endswith(".json")
         assert '"identifier"' in r["payload"]
-    for r in xml:
-        assert r["payload"].startswith("<MD_Metadata>")
-        assert f"<fileIdentifier>{r['identifier']}</fileIdentifier>" in r["payload"]
+
+    iso = export_records(recs, "iso19139").collect()
+    assert len(iso) == n
+    for r in iso:
+        assert r["filename"].endswith(".xml")
+        root = ET.fromstring(r["payload"])  # well-formed XML
+        assert root.tag == "{http://www.isotc211.org/2005/gmd}MD_Metadata"
+        assert (
+            f"<gco:CharacterString>{r['identifier']}</gco:CharacterString>"
+            in r["payload"]
+        )
+        assert "<gmd:EX_GeographicBoundingBox>" in r["payload"]
+
+    for prof, top_keys in {
+        "dcat": {"@type", "dct:identifier", "dcat:distribution"},
+        "stac": {"type", "stac_version", "bbox", "geometry", "assets"},
+        "oarec": {"id", "type", "geometry", "properties", "links"},
+    }.items():
+        rows = export_records(recs, prof).collect()
+        assert len(rows) == n
+        for r in rows:
+            assert r["filename"].endswith(".json")
+            doc = _json.loads(r["payload"])  # valid JSON
+            assert top_keys <= set(doc)
 
 
 def test_windowed_page_counts_stream(spark, tmp_path):

@@ -74,3 +74,37 @@ def test_safe_filename_parity(spark):
     want = [safe_filename_py(n) for n in names]
     assert got == want
     assert safe_filename_py("a b(c)") == "a-bc"  # "()" deleted, " " -> "-"
+
+
+def test_registered_domain_public_suffix(spark):
+    # multi-label public suffixes register at the third label (item:
+    # co.uk-style hosts must not share a politeness/salt key)
+    from pygeodatacrawler_spark.functions.urls import (
+        host_registered_domain_py,
+    )
+
+    cases = {
+        "https://www.example.co.uk/x": "example.co.uk",
+        "https://a.b.shop.com.au/": "shop.com.au",
+        "https://news.bbc.co.uk/": "bbc.co.uk",
+        "https://www.example.de/": "example.de",
+        "https://sub.city.go.jp/": "city.go.jp",
+        "https://x.y.gouv.fr/": "y.gouv.fr",
+        "https://plain.org/": "plain.org",
+        "https://deep.k12.il/": "deep.k12.il",
+    }
+    for url, want in cases.items():
+        assert registered_domain_py(url) == want, url
+    assert host_registered_domain_py("WWW.Example.CO.UK") == "example.co.uk"
+    assert host_registered_domain_py("localhost") == "localhost"
+
+    import pyspark.sql.functions as F
+
+    df = spark.createDataFrame([(u,) for u in cases], "url string")
+    got = {
+        r["url"]: r["d"]
+        for r in df.select(
+            "url", registered_domain(F.col("url")).alias("d")
+        ).collect()
+    }
+    assert got == cases
