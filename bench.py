@@ -81,7 +81,11 @@ def main() -> None:
     pages.count()
     with tempfile.TemporaryDirectory() as tmp:
         eng = CrawlEngine(
-            spark, tmp, pages, robots, host_budget=2000, bloom_buckets=16
+            spark, tmp, pages, robots, host_budget=2000, bloom_buckets=16,
+            # 2 BFS levels per snapshot commit: state is byte-identical
+            # to sequential rounds (tests/test_crawl_fused.py) but the
+            # per-commit floor is paid half as often
+            levels_per_commit=2,
         )
         eng.init_from_seeds(seeds)
         t0 = time.monotonic()

@@ -144,7 +144,8 @@ def run_crawl(cpus: int, data_dir: str, seed_every: int | None = None) -> dict:
 
     workdir = tempfile.mkdtemp(prefix=f"scale{cpus}_")
     eng = CrawlEngine(
-        spark, workdir, None, robots, host_budget=HOST_BUDGET, fetch_fn=fetch
+        spark, workdir, None, robots, host_budget=HOST_BUDGET, fetch_fn=fetch,
+        levels_per_commit=2,
     )
     eng.init_from_seeds(seeds)
     t0 = time.monotonic()
@@ -249,7 +250,79 @@ def _subprocess_run(job: str, cpus: int, data_dir: str) -> dict:
     raise RuntimeError(f"no result from {job}@{cpus}: {out.stdout[-2000:]}")
 
 
+def _idle_gate(threshold: float = 4.0, timeout_s: float = 600.0) -> bool:
+    """BASELINE.md amended-protocol box-idle gate: admit a draw only
+    when the 1-minute loadavg is <= threshold; wait up to timeout_s,
+    re-sampling every 30 s. Returns False (draw 'gated') on timeout —
+    decided BEFORE the draw's numbers exist."""
+    t0 = time.monotonic()
+    while True:
+        with open("/proc/loadavg") as f:
+            load1 = float(f.read().split()[0])
+        if load1 <= threshold:
+            return True
+        if time.monotonic() - t0 > timeout_s:
+            return False
+        time.sleep(30)
+
+
+def run_pairs(job: str, lo_cpus: int, hi_cpus: int, n_draws: int) -> None:
+    """Gated paired draws (BASELINE.md amended protocol): each draw =
+    idle gate -> lo -> hi in fresh JVMs on the same input; prints one
+    JSON line per draw plus a summary with the median efficiency."""
+    data_dir = os.environ.get("SPARK_GRAFT_SCALING_DATA", "")
+    if not (data_dir and os.path.exists(f"{data_dir}/pages_batch.parquet")):
+        data_dir = data_dir or tempfile.mkdtemp(prefix="scaling_corpus_")
+        os.makedirs(data_dir, exist_ok=True)
+        prepare_corpus(
+            int(os.environ.get("SPARK_GRAFT_SCALING_PAGES", "2400000")), data_dir
+        )
+    rate_key = "pages_per_sec" if job == "batch" else "urls_per_sec"
+    step = hi_cpus / lo_cpus
+    effs = []
+    for i in range(n_draws):
+        if not _idle_gate():
+            print(json.dumps({"draw": i + 1, "gated": True}))
+            continue
+        lo = _subprocess_run(job, lo_cpus, data_dir)
+        hi = _subprocess_run(job, hi_cpus, data_dir)
+        eff = round((hi[rate_key] / lo[rate_key]) / step, 3)
+        effs.append(eff)
+        print(
+            json.dumps(
+                {
+                    "draw": i + 1,
+                    "job": job,
+                    f"thr_{lo_cpus}": lo[rate_key],
+                    f"thr_{hi_cpus}": hi[rate_key],
+                    "efficiency": eff,
+                }
+            ),
+            flush=True,
+        )
+    effs.sort()
+    median = effs[len(effs) // 2] if len(effs) % 2 else round(
+        (effs[len(effs) // 2 - 1] + effs[len(effs) // 2]) / 2, 3
+    )
+    print(
+        json.dumps(
+            {
+                "job": job,
+                "pair": [lo_cpus, hi_cpus],
+                "draws": effs,
+                "median_efficiency": median if effs else None,
+            }
+        ),
+        flush=True,
+    )
+
+
 def main() -> None:
+    if len(sys.argv) > 1 and sys.argv[1] == "--pairs":
+        run_pairs(
+            sys.argv[2], int(sys.argv[3]), int(sys.argv[4]), int(sys.argv[5])
+        )
+        return
     if len(sys.argv) > 1 and sys.argv[1] == "--run":
         job = sys.argv[2]
         if job == "crawl_big":
