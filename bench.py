@@ -85,7 +85,7 @@ def main() -> None:
             # 2 BFS levels per snapshot commit: state is byte-identical
             # to sequential rounds (tests/test_crawl_fused.py) but the
             # per-commit floor is paid half as often
-            levels_per_commit=2,
+            levels_per_commit=int(os.environ.get("SPARK_GRAFT_LEVELS", "2")),
         )
         eng.init_from_seeds(seeds)
         t0 = time.monotonic()

@@ -1850,6 +1850,9 @@ _CONIC_GRIDS: dict[str, tuple[int, float, float, float, float, tuple[float, floa
     "albers5070": (5070, -120.0, 2.0, 25.0, 0.9375, (-96.0, 23.0)),
     "albers3577": (3577, 116.0, 1.375, -40.0, 1.125, (132.0, 0.0)),
     "laea3035": (3035, -10.0, 1.625, 36.0, 1.375, (5.0, 50.0)),
+    # RD New oblique stereographic; control = the EPSG GN7-2 §1.3.7.1
+    # worked example (53N 6E -> 196105.28 E / 557057.74 N)
+    "rdnew28992": (28992, 3.25, 0.15625, 50.75, 0.109375, (6.0, 53.0)),
 }
 
 
@@ -2014,6 +2017,20 @@ from part
             fwd_en = f"""
          {k['fe']!r} + {rho} * sin({n!r} * radians(lon - {k['lon0']!r})) as fe,
          {k['fn']!r} + {k['rho0']!r} - {rho} * cos({n!r} * radians(lon - {k['lon0']!r})) as fn"""
+        elif code in geo._OBL_STEREO_DEFS:
+            k = geo.stereo_constants(code)
+            e, n_, c_ = k["e"], k["n"], k["c"]
+            sx0, cx0 = _math.sin(k["chi0"]), _math.cos(k["chi0"])
+            rk2 = 2 * k["r"] * k["k0"]
+            w = (f"({c_!r} * pow(((1 + sin(phi))/(1 - sin(phi)))"
+                 f" * pow((1 - {e!r}*sin(phi))/(1 + {e!r}*sin(phi)), {e!r}), {n_!r}))")
+            chi = f"asin(({w} - 1) / ({w} + 1))"
+            dl = f"({n_!r} * (radians(lon) - {k['lon0']!r}))"
+            bb = f"(1 + sin({chi})*{sx0!r} + cos({chi})*{cx0!r}*cos({dl}))"
+            fwd_en = f'''
+         {k['fe']!r} + {rk2!r} * cos({chi}) * sin({dl}) / {bb} as fe,
+         {k['fn']!r} + {rk2!r} * (sin({chi})*{cx0!r}
+           - cos({chi})*{sx0!r}*cos({dl})) / {bb} as fn'''
         else:
             k = geo.laea_constants(code)
             e = k["e"]

@@ -33,9 +33,10 @@ implements the pure-math subset as JVM-side Column expressions:
   default tmerc uses — sub-mm inside a zone) AND the most-hit conic
   targets as closed-form Column math (EPSG Guidance Note 7-2):
   Lambert conformal conic 2SP (2154 Lambert-93, 3034 LCC Europe,
-  3978 Canada Atlas), Albers equal-area (5070 Conus, 3577 Australian)
-  and Lambert azimuthal equal-area (3035 LAEA Europe). Other CRS
-  pairs raise, explicitly. NOTE for roundtrips: the conic inverse
+  3978 Canada Atlas), Albers equal-area (5070 Conus, 3577 Australian),
+  Lambert azimuthal equal-area (3035 LAEA Europe), and oblique
+  stereographic (28992 Amersfoort / RD New — validated against the
+  GN7-2 worked example to the mm). Other CRS pairs raise, explicitly. NOTE for roundtrips: the conic inverse
   iterates, so feed it COLUMN REFERENCES (stage the forward result
   through a select) — passing the raw forward expression replicates
   that subtree once per reference.
@@ -105,6 +106,75 @@ _FUZZY_NAMES: list[tuple[int, str]] = [
     (4301, "tokyo"), (4612, "jgd2000"), (4668, "jgd2011"),
     (4490, "cgcs2000"),
     (102100, "esri web mercator"),
+    # round-4 widening: more of the names OSR FindMatches resolves in
+    # practice (national grids, continental equal-area/conformal CRS,
+    # common geographic datums)
+    (4936, "etrs89 cartesian"),
+    (3857, "spherical mercator"),
+    (4979, "wgs 84 3d"), (4978, "wgs 84 geocentric"),
+    (3413, "nsidc sea ice polar stereographic north"),
+    (3976, "nsidc sea ice polar stereographic south"),
+    (3031, "antarctic polar stereographic"),
+    (3995, "arctic polar stereographic"),
+    (3034, "etrs89 lcc"), (3035, "etrs89 laea"),
+    (3034, "etrs89 / lcc europe"), (3035, "etrs89 / laea europe"),
+    (2154, "rgf93 v1 / lambert 93"),
+    (27572, "ntf (paris) / lambert zone ii"), (27572, "lambert zone ii"),
+    (4807, "ntf (paris)"), (4275, "ntf"),
+    (23030, "ed50 / utm zone 30n"), (23031, "ed50 / utm zone 31n"),
+    (23032, "ed50 / utm zone 32n"),
+    (25830, "etrs89 / utm zone 30n"),  # common fully-spelled forms
+    (25831, "etrs89 / utm zone 31n"), (25832, "etrs89 / utm zone 32n"),
+    (25833, "etrs89 / utm zone 33n"),
+    (31466, "dhdn / 3-degree gauss-kruger zone 2"),
+    (31467, "dhdn / 3-degree gauss-kruger zone 3"),
+    (31468, "dhdn / 3-degree gauss-kruger zone 4"),
+    (4314, "dhdn"), (4312, "mgi"), (31287, "mgi / austria lambert"),
+    (21781, "swiss oblique mercator"),
+    (2056, "ch1903+"),
+    (3006, "sweref99 tm"), (4619, "sweref99"),
+    (25884, "etrs89 / tm baltic93"),
+    (3067, "etrs89 / tm35fin"), (2393, "kkj / finland uniform coordinate system"),
+    (4123, "kkj"),
+    (32633, "wgs 84 / utm 33n"),
+    (5514, "krovak east north"), (5513, "krovak"),
+    (2180, "etrs89 / poland cs92"), (2180, "puwg 1992"), (2180, "puwg-92"),
+    (3120, "puwg 1965"),
+    (23700, "eov"), (23700, "hd72 / eov"), (4237, "hd72"),
+    (28355, "gda94 / mga zone 55"), (28356, "gda94 / mga zone 56"),
+    (7844, "gda2020"), (7855, "gda2020 / mga zone 55"),
+    (2039, "israel 1993 / israeli tm grid"), (4141, "israel 1993"),
+    (32661, "wgs 84 / ups north"), (32761, "wgs 84 / ups south"),
+    (4171, "rgf93 v1"),
+    (26717, "nad27 / utm zone 17n"), (26917, "nad83 / utm zone 17n"),
+    (3347, "nad83 / statistics canada lambert"),
+    (3978, "nad83 / canada atlas lambert"),
+    (3979, "nad83(csrs) / canada atlas lambert"), (4617, "nad83(csrs)"),
+    (5070, "conus albers"),
+    (5071, "nad83(hartn) / conus albers"),
+    (6350, "nad83(2011) / conus albers"), (6318, "nad83(2011)"),
+    (3310, "nad83 / california albers"),
+    (2163, "us national atlas equal area"),
+    (5072, "nad83(nsrs2007) / conus albers"),
+    (29902, "tm65 / irish grid"), (4299, "tm65"),
+    (2157, "irenet95 / irish transverse mercator"), (4173, "irenet95"),
+    (27700, "ordnance survey great britain 1936"),
+    (4324, "wgs 72be"), (4322, "wgs 72"), (4760, "wgs 66"),
+    (3112, "gda94 / geoscience australia lambert"),
+    (28992, "rijksdriehoek"),
+    (31370, "belge 1972 / belgian lambert 72"),
+    (3812, "etrs89 / belgian lambert 2008"),
+    (2056, "lv95"), (21781, "lv03"),
+    (5243, "etrs89 / lcc germany (e-n)"),
+    (4258, "european terrestrial reference system"),
+    (4230, "ed 50"),
+    (3763, "etrs89 / portugal tm06"),
+    (2169, "luxembourg 1930 / gauss"), (4181, "luxembourg 1930"),
+    (27391, "ngo 1948 (oslo) / norway zone 1"), (4817, "ngo 1948 (oslo)"),
+    (25884, "etrs89 / tm baltic"),
+    (3301, "estonian coordinate system of 1997"), (4180, "est97"),
+    (3346, "lks94 / lithuania tm"), (4669, "lks94"),
+    (3059, "lks92 / latvia tm"), (4661, "lks92"),
 ]
 
 # generic zone families: normalized-name regex with the zone number as
@@ -138,8 +208,20 @@ def crs2code_fuzzy(crs: Column) -> Column:
                 F.concat(F.lit("EPSG:"), (F.lit(base) + zone.cast("int")).cast("string")),
             )
         )
+    import re as _re
+
     for code, name in sorted(_FUZZY_NAMES, key=lambda t: -len(t[1])):
-        branches.append(F.when(s.contains(name), F.lit(f"EPSG:{code}")))
+        if len(name) <= 5:
+            # short names (eov, kkj, ntf, ed50, lv95...) are real
+            # substrings of unrelated words — require word boundaries,
+            # the high-confidence analog a 3-letter FindMatches hit
+            # would need anyway
+            cond = s.rlike(
+                r"(?<![a-z0-9])" + _re.escape(name) + r"(?![a-z0-9])"
+            )
+        else:
+            cond = s.contains(name)
+        branches.append(F.when(cond, F.lit(f"EPSG:{code}")))
     return F.coalesce(*branches)
 
 
@@ -516,6 +598,93 @@ def laea_inverse(x: Column, y: Column, code: int) -> tuple[Column, Column]:
     return lon, lat
 
 
+# -- oblique stereographic (RD New) -----------------------------------------
+
+_BESSEL = (6377397.155, 1.0 / 299.1528128)
+
+# (ellipsoid, lat0, lon0, k0, FE, FN)
+_OBL_STEREO_DEFS: dict[int, tuple] = {
+    28992: (_BESSEL, 52.0 + 9.0 / 60 + 22.178 / 3600,
+            5.0 + 23.0 / 60 + 15.5 / 3600, 0.9999079,
+            155000.0, 463000.0),  # Amersfoort / RD New
+}
+
+
+def stereo_constants(code: int) -> dict:
+    """Driver-side oblique-stereographic constants (EPSG GN7-2 §1.3.7.1:
+    the double-projection via the conformal sphere; RD New is GN7-2's
+    own worked example for this method)."""
+    (a, f), lat0, lon0, k0, fe, fn = _OBL_STEREO_DEFS[code]
+    e2 = f * (2 - f)
+    e = _math.sqrt(e2)
+    p0 = _math.radians(lat0)
+    sp0 = _math.sin(p0)
+    rho0 = a * (1 - e2) / (1 - e2 * sp0 * sp0) ** 1.5
+    nu0 = a / _math.sqrt(1 - e2 * sp0 * sp0)
+    r = _math.sqrt(rho0 * nu0)
+    n = _math.sqrt(1 + e2 * _math.cos(p0) ** 4 / (1 - e2))
+    s1 = (1 + sp0) / (1 - sp0)
+    s2 = (1 - e * sp0) / (1 + e * sp0)
+    w1 = (s1 * s2**e) ** n
+    sin_chi0 = (w1 - 1) / (w1 + 1)
+    c = (n + sp0) * (1 - sin_chi0) / ((n - sp0) * (1 + sin_chi0))
+    w2 = c * w1
+    chi0 = _math.asin((w2 - 1) / (w2 + 1))
+    return dict(a=a, e=e, e2=e2, lon0=_math.radians(lon0), k0=k0, fe=fe,
+                fn=fn, r=r, n=n, c=c, chi0=chi0)
+
+
+def stereo_forward(lon: Column, lat: Column, code: int) -> tuple[Column, Column]:
+    k = stereo_constants(code)
+    phi = F.radians(lat)
+    lam = F.radians(lon)
+    sp = F.sin(phi)
+    sa = (1 + sp) / (1 - sp)
+    sb = (1 - k["e"] * sp) / (1 + k["e"] * sp)
+    w = k["c"] * F.pow(sa * F.pow(sb, k["e"]), k["n"])
+    chi = F.asin((w - 1) / (w + 1))
+    sx0, cx0 = _math.sin(k["chi0"]), _math.cos(k["chi0"])
+    # Lambda - lon0 == n*(lam - lon0); computed directly so the oracle
+    # SQL evaluates the bit-identical operation order
+    dl = k["n"] * (lam - k["lon0"])
+    b = 1 + F.sin(chi) * sx0 + F.cos(chi) * cx0 * F.cos(dl)
+    return (
+        k["fe"] + 2 * k["r"] * k["k0"] * F.cos(chi) * F.sin(dl) / b,
+        k["fn"] + 2 * k["r"] * k["k0"] * (F.sin(chi) * cx0 - F.cos(chi) * sx0 * F.cos(dl)) / b,
+    )
+
+
+def stereo_inverse(x: Column, y: Column, code: int) -> tuple[Column, Column]:
+    """Oblique-stereographic inverse (EPSG GN7-2 §1.3.7.1). The
+    isometric-latitude Newton step converges quadratically; 4 steps
+    reach double precision. Feed COLUMN REFERENCES for roundtrips."""
+    k = stereo_constants(code)
+    ex, ny = x - F.lit(k["fe"]), y - F.lit(k["fn"])
+    g = 2 * k["r"] * k["k0"] * _math.tan(_math.pi / 4 - k["chi0"] / 2)
+    h = 4 * k["r"] * k["k0"] * _math.tan(k["chi0"]) + g
+    i = F.atan2(ex, h + ny)
+    j = F.atan2(ex, g - ny) - i
+    chi = k["chi0"] + 2 * F.atan((ny - ex * F.tan(j / 2)) / (2 * k["r"] * k["k0"]))
+    lam = j + 2 * i + k["lon0"]
+    lon = F.degrees((lam - k["lon0"]) / k["n"] + k["lon0"])
+    # chi -> phi: invert the conformal-sphere mapping via isometric
+    # latitude psi (Newton, 4 unrolled steps)
+    psi = (
+        F.log((1 + F.sin(chi)) / (k["c"] * (1 - F.sin(chi)))) / (2 * k["n"])
+    )
+    phi = 2 * F.atan(F.exp(psi)) - F.pi() / 2
+    for _ in range(4):
+        s = F.sin(phi)
+        psi_i = F.log(
+            F.tan(phi / 2 + F.pi() / 4)
+            * F.pow((1 - k["e"] * s) / (1 + k["e"] * s), k["e"] / 2)
+        )
+        phi = phi - (psi_i - psi) * F.cos(phi) * (1 - k["e2"] * s * s) / (
+            1 - k["e2"]
+        )
+    return lon, F.degrees(phi)
+
+
 def _forward_py(lon: float, lat: float, code: int) -> tuple[float, float]:
     """Pure-Python mirror of the conic forward Column math (same constants,
     same operation order). Used by property tests and to generate oracle-SQL
@@ -545,6 +714,24 @@ def _forward_py(lon: float, lat: float, code: int) -> tuple[float, float]:
             k["fe"] + b * k["d"] * _math.cos(beta) * _math.sin(dlam),
             k["fn"] + (b / k["d"]) * (cb0 * _math.sin(beta) - sb0 * _math.cos(beta) * _math.cos(dlam)),
         )
+    if code in _OBL_STEREO_DEFS:
+        k = stereo_constants(code)
+        phi, lam = _math.radians(lat), _math.radians(lon)
+        big_l = k["n"] * (lam - k["lon0"]) + k["lon0"]
+        sp = _math.sin(phi)
+        w = k["c"] * (
+            ((1 + sp) / (1 - sp))
+            * ((1 - k["e"] * sp) / (1 + k["e"] * sp)) ** k["e"]
+        ) ** k["n"]
+        chi = _math.asin((w - 1) / (w + 1))
+        sx0, cx0 = _math.sin(k["chi0"]), _math.cos(k["chi0"])
+        dl = big_l - k["lon0"]
+        b = 1 + _math.sin(chi) * sx0 + _math.cos(chi) * cx0 * _math.cos(dl)
+        return (
+            k["fe"] + 2 * k["r"] * k["k0"] * _math.cos(chi) * _math.sin(dl) / b,
+            k["fn"] + 2 * k["r"] * k["k0"]
+            * (_math.sin(chi) * cx0 - _math.cos(chi) * sx0 * _math.cos(dl)) / b,
+        )
     raise ValueError(f"no conic family for EPSG:{code}")
 
 
@@ -552,11 +739,13 @@ _CONIC_FWD = {
     **{c: (lambda lo, la, c=c: lcc_forward(lo, la, c)) for c in _LCC2SP_DEFS},
     **{c: (lambda lo, la, c=c: albers_forward(lo, la, c)) for c in _ALBERS_DEFS},
     **{c: (lambda lo, la, c=c: laea_forward(lo, la, c)) for c in _LAEA_DEFS},
+    **{c: (lambda lo, la, c=c: stereo_forward(lo, la, c)) for c in _OBL_STEREO_DEFS},
 }
 _CONIC_INV = {
     **{c: (lambda x, y, c=c: lcc_inverse(x, y, c)) for c in _LCC2SP_DEFS},
     **{c: (lambda x, y, c=c: albers_inverse(x, y, c)) for c in _ALBERS_DEFS},
     **{c: (lambda x, y, c=c: laea_inverse(x, y, c)) for c in _LAEA_DEFS},
+    **{c: (lambda x, y, c=c: stereo_inverse(x, y, c)) for c in _OBL_STEREO_DEFS},
 }
 
 
@@ -602,5 +791,6 @@ def reproject_bounds(
     raise ValueError(
         f"unsupported CRS pair {source}->{target}; closed-form subset is "
         "4326<->3857, 4326<->UTM, and 4326<->{LCC 2154/3034/3978, "
-        "Albers 5070/3577, LAEA 3035} (no GDAL in this environment)"
+        "Albers 5070/3577, LAEA 3035, RD-New 28992} "
+        "(no GDAL in this environment)"
     )

@@ -22,7 +22,7 @@ def _run(spark, levels):
     with tempfile.TemporaryDirectory() as tmp:
         eng = CrawlEngine(
             spark, tmp, pages, robots, host_budget=BUDGET,
-            bloom_buckets=8, levels_per_commit=levels,
+            bloom_buckets=8, levels_per_commit=levels, fuse_min_batch=0,
         )
         eng.init_from_seeds(seeds)
         stats = eng.run(max_rounds=30)
@@ -61,7 +61,7 @@ def test_fused_resume_round_advances_by_levels(spark):
     with tempfile.TemporaryDirectory() as tmp:
         eng = CrawlEngine(
             spark, tmp, pages, robots, host_budget=20,
-            levels_per_commit=2,
+            levels_per_commit=2, fuse_min_batch=0,
         )
         eng.init_from_seeds(seeds)
         res = eng.run_round(0)
@@ -69,6 +69,6 @@ def test_fused_resume_round_advances_by_levels(spark):
         # a fresh engine over the same workdir resumes AFTER both levels
         eng2 = CrawlEngine(
             spark, tmp, pages, robots, host_budget=20,
-            levels_per_commit=2,
+            levels_per_commit=2, fuse_min_batch=0,
         )
         assert eng2.resume_round() == 2

@@ -193,4 +193,29 @@ def test_spark_column_path_matches_mirror(spark):
 def test_unsupported_pair_raises():
     with pytest.raises(ValueError):
         geo.reproject_bounds(F.lit(0.0), F.lit(0.0), F.lit(1.0), F.lit(1.0),
-                             4326, 28992)
+                             4326, 21781)
+
+
+def test_rdnew_oblique_stereographic():
+    # origin exactness
+    (_, lat0, lon0, _, fe, fn) = geo._OBL_STEREO_DEFS[28992]
+    e, n = geo._forward_py(lon0, lat0, 28992)
+    assert abs(e - fe) < 1e-6 and abs(n - fn) < 1e-6
+    # EPSG GN7-2 §1.3.7.1 worked example (Amersfoort / RD New):
+    # 53N 6E -> E 196105.283, N 557057.739
+    e, n = geo._forward_py(6.0, 53.0, 28992)
+    assert abs(e - 196105.283) < 0.005
+    assert abs(n - 557057.739) < 0.005
+    # conformality: scale isotropic at an arbitrary NL point
+    import math
+    d = 1e-7
+    x0, y0 = geo._forward_py(5.0, 52.5, 28992)
+    x1, y1 = geo._forward_py(5.0 + d, 52.5, 28992)
+    x2, y2 = geo._forward_py(5.0, 52.5 + d, 28992)
+    k = geo.stereo_constants(28992)
+    phi = math.radians(52.5)
+    nu = k["a"] / math.sqrt(1 - k["e2"] * math.sin(phi) ** 2)
+    rho = k["a"] * (1 - k["e2"]) / (1 - k["e2"] * math.sin(phi) ** 2) ** 1.5
+    kx = math.hypot(x1 - x0, y1 - y0) / (nu * math.cos(phi) * math.radians(d))
+    ky = math.hypot(x2 - x0, y2 - y0) / (rho * math.radians(d))
+    assert abs(kx - ky) < 1e-6

@@ -211,10 +211,11 @@ def test_crs_fuzzy_and_utm(spark):
 
     import pytest as _pytest
 
-    # 28992 (RD New, oblique stereographic) stays outside the
-    # closed-form set — 2154 moved to supported in round 4 (LCC 2SP)
+    # 21781 (Swiss oblique Mercator) stays outside the closed-form
+    # set — 2154 (LCC) and 28992 (oblique stereographic) both moved to
+    # supported in round 4
     with _pytest.raises(ValueError):
-        reproject_bounds(F.lit(0), F.lit(0), F.lit(1), F.lit(1), 4326, 28992)
+        reproject_bounds(F.lit(0), F.lit(0), F.lit(1), F.lit(1), 4326, 21781)
 
 
 def test_mode1_class_block_single_quotes(spark):
