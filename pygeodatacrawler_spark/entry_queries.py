@@ -1855,6 +1855,22 @@ _CONIC_GRIDS: dict[str, tuple[int, float, float, float, float, tuple[float, floa
     "rdnew28992": (28992, 3.25, 0.15625, 50.75, 0.109375, (6.0, 53.0)),
 }
 
+# National transverse-mercator grids: oracled like the 'utm' family —
+# roundtrip identity on dyadic inputs + a control point (OSGB uses the
+# Ordnance Survey worked example, Caister water tower -> 651409.903 E
+# 313177.270 N; the others pin the grid origin, exact by definition).
+_TMNAT_GRIDS: dict[str, tuple[int, float, float, float, float, tuple[float, float]]] = {
+    "osgb27700": (27700, -5.5, 0.25, 50.0, 0.25,
+                  (1.0 + 43.0 / 60 + 4.5177 / 3600,
+                   52.0 + 39.0 / 60 + 27.2531 / 3600)),
+    # grids stay within ~4 deg of each central meridian — beyond that
+    # the truncated TM series' forward/inverse residual (~1e-6 deg)
+    # crosses the 6-dp roundtrip rounding threshold
+    "nztm2193": (2193, 169.5, 0.25, -46.0, 0.375, (173.0, 0.0)),
+    "sweref3006": (3006, 11.0, 0.3125, 55.25, 0.5, (15.0, 0.0)),
+    "cs92_2180": (2180, 15.5, 0.25, 49.0, 0.25, (19.0, 0.0)),
+}
+
 
 def q_reproject_bounds(spark, sf_dir):
     # C5 reprojectBounds (utils.py:240-256), all supported families in
@@ -1896,26 +1912,45 @@ def q_reproject_bounds(spark, sf_dir):
         r(F.element_at(inv, 2), 6).alias("c6"),
     )
 
-    ulon = (F.lit(12.0) + (F.col("p_partkey") % 40) * 0.125).cast("double")
-    ulat = (F.lit(-80.0) + (F.col("p_partkey") % 321) * 0.5).cast("double")
-    ufwd = reproject_bounds(ulon, ulat, ulon + 0.25, ulat + 0.25, 4326, 32633)
-    uinv = reproject_bounds(
-        F.element_at(ufwd, 1), F.element_at(ufwd, 2),
-        F.element_at(ufwd, 3), F.element_at(ufwd, 4),
-        32633, 4326,
+    # UTM roundtrip staged through a projection (same reason as the
+    # conic/TM-national families: the TM inverse references its inputs
+    # ~10x through the footpoint-latitude series, so feeding it the raw
+    # forward EXPRESSION replicates that whole subtree per reference —
+    # measured as ~200 s of analyzer time on the unstaged round-3 shape)
+    from pygeodatacrawler_spark.functions.geo import (
+        tm_forward as _tmf,
+        tm_inverse as _tmi,
+        utm_params,
     )
+
+    up33 = utm_params(32633)
+    ubase = part.select(
+        F.col("p_partkey").alias("k"),
+        (F.lit(12.0) + (F.col("p_partkey") % 40) * 0.125)
+        .cast("double").alias("_lon"),
+        (F.lit(-80.0) + (F.col("p_partkey") % 321) * 0.5)
+        .cast("double").alias("_lat"),
+    )
+    ux0, uy0 = _tmf(F.col("_lon"), F.col("_lat"), *up33)
+    ux1, uy1 = _tmf(F.col("_lon") + 0.25, F.col("_lat") + 0.25, *up33)
+    ufwd_df = ubase.select(
+        "k", ux0.alias("_x0"), uy0.alias("_y0"),
+        ux1.alias("_x1"), uy1.alias("_y1"),
+    )
+    rl0, rp0 = _tmi(F.col("_x0"), F.col("_y0"), *up33)
+    rl1, rp1 = _tmi(F.col("_x1"), F.col("_y1"), *up33)
     cn = reproject_bounds(
         F.lit(-79.387139), F.lit(43.642567),
         F.lit(-79.387139), F.lit(43.642567),
         4326, 32617,
     )
-    utm = part.select(
-        F.col("p_partkey").alias("k"),
+    utm = ufwd_df.select(
+        "k",
         F.lit("utm").alias("family"),
-        r(F.element_at(uinv, 1), 6).alias("c1"),
-        r(F.element_at(uinv, 2), 6).alias("c2"),
-        r(F.element_at(uinv, 3), 6).alias("c3"),
-        r(F.element_at(uinv, 4), 6).alias("c4"),
+        r(rl0, 6).alias("c1"),
+        r(rp0, 6).alias("c2"),
+        r(rl1, 6).alias("c3"),
+        r(rp1, 6).alias("c4"),
         r(F.element_at(cn, 1), 2).alias("c5"),
         r(F.element_at(cn, 2), 2).alias("c6"),
     )
@@ -1930,6 +1965,42 @@ def q_reproject_bounds(spark, sf_dir):
     from pygeodatacrawler_spark.functions.geo import _CONIC_FWD, _CONIC_INV
 
     out = merc.unionByName(utm)
+
+    # national TM grids: staged through a projection like the conics —
+    # the TM inverse is a closed series but references its inputs many
+    # times, so the forward result must be a named column, not a raw
+    # expression, to keep the analyzer's trees small
+    from pygeodatacrawler_spark.functions.geo import (
+        tm_forward,
+        tm_inverse,
+        tm_national_params,
+    )
+
+    for fam, (code, ln0, lns, lt0, lts, (clon, clat)) in _TMNAT_GRIDS.items():
+        nk = F.col("n_nationkey")
+        params = tm_national_params(code)
+        base = nation.select(
+            nk.cast("long").alias("k"),
+            (F.lit(ln0) + nk * lns).cast("double").alias("_lon"),
+            (F.lit(lt0) + nk * lts).cast("double").alias("_lat"),
+        )
+        fx, fy = tm_forward(F.col("_lon"), F.col("_lat"), *params)
+        fwd_df = base.select("k", fx.alias("_fx"), fy.alias("_fy"))
+        rlon, rlat = tm_inverse(F.col("_fx"), F.col("_fy"), *params)
+        cx, cy = tm_forward(F.lit(clon), F.lit(clat), *params)
+        out = out.unionByName(
+            fwd_df.select(
+                "k",
+                F.lit(fam).alias("family"),
+                r(rlon, 6).alias("c1"),
+                r(rlat, 6).alias("c2"),
+                r(rlon, 6).alias("c3"),
+                r(rlat, 6).alias("c4"),
+                r(cx, 2).alias("c5"),
+                r(cy, 2).alias("c6"),
+            )
+        )
+
     for fam, (code, ln0, lns, lt0, lts, (clon, clat)) in _CONIC_GRIDS.items():
         nk = F.col("n_nationkey")
         base = nation.select(
@@ -1996,6 +2067,20 @@ select p_partkey as k, 'utm' as family,
        4833438.59 as c6
 from part
 """]
+    for fam, (code, ln0, lns, lt0, lts, (clon, clat)) in _TMNAT_GRIDS.items():
+        ce, cn_ = (
+            round(v, 2) + 0.0
+            for v in geo.tm_national_forward_py(clon, clat, code)
+        )
+        parts.append(f"""
+select n_nationkey::bigint as k, '{fam}' as family,
+       ({ln0!r} + n_nationkey * {lns!r})::double as c1,
+       ({lt0!r} + n_nationkey * {lts!r})::double as c2,
+       ({ln0!r} + n_nationkey * {lns!r})::double as c3,
+       ({lt0!r} + n_nationkey * {lts!r})::double as c4,
+       {ce!r} as c5, {cn_!r} as c6
+from nation
+""")
     for fam, (code, ln0, lns, lt0, lts, (clon, clat)) in _CONIC_GRIDS.items():
         ce, cn_ = (round(v, 2) + 0.0 for v in geo._forward_py(clon, clat, code))
         if code in geo._LCC2SP_DEFS:

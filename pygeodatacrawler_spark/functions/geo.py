@@ -36,7 +36,10 @@ implements the pure-math subset as JVM-side Column expressions:
   3978 Canada Atlas), Albers equal-area (5070 Conus, 3577 Australian),
   Lambert azimuthal equal-area (3035 LAEA Europe), and oblique
   stereographic (28992 Amersfoort / RD New — validated against the
-  GN7-2 worked example to the mm). Other CRS pairs raise, explicitly. NOTE for roundtrips: the conic inverse
+  GN7-2 worked example to the mm), plus the national transverse-
+  mercator grids 27700 British National Grid (validated against the
+  Ordnance Survey worked example to the mm), 2193 NZTM2000, 3006
+  SWEREF99 TM, 2180 Poland CS92. Other CRS pairs raise, explicitly. NOTE for roundtrips: the conic inverse
   iterates, so feed it COLUMN REFERENCES (stage the forward result
   through a select) — passing the raw forward expression replicates
   that subtree once per reference.
@@ -302,15 +305,32 @@ def utm_params(code: int) -> tuple[float, float, float, float] | None:
     return a, f, float(zone * 6 - 183), 10000000.0 if south else 0.0
 
 
+def _tm_m0(a: float, e2: float, lat0: float) -> float:
+    """Meridional arc M(lat0) — the constant subtracted for grids whose
+    natural origin is off the equator (OSGB's 49N)."""
+    e4, e6 = e2 * e2, e2 * e2 * e2
+    p0 = _math.radians(lat0)
+    return a * (
+        (1 - e2 / 4 - 3 * e4 / 64 - 5 * e6 / 256) * p0
+        - (3 * e2 / 8 + 3 * e4 / 32 + 45 * e6 / 1024) * _math.sin(2 * p0)
+        + (15 * e4 / 256 + 45 * e6 / 1024) * _math.sin(4 * p0)
+        - (35 * e6 / 3072) * _math.sin(6 * p0)
+    )
+
+
 def tm_forward(
-    lon: Column, lat: Column, a: float, f: float, lon0: float, fn: float
+    lon: Column, lat: Column, a: float, f: float, lon0: float, fn: float,
+    k0: float = TM_K0, fe: float = TM_FE, lat0: float = 0.0,
 ) -> tuple[Column, Column]:
     """Geographic -> transverse-mercator easting/northing (Snyder 1987
     eqs 8-9..8-15 + 3-21 for M): the series proj's default tmerc
-    matches to sub-mm inside a UTM zone."""
+    matches to sub-mm inside a UTM zone. ``k0``/``fe``/``lat0``
+    default to the UTM values; national grids (OSGB, NZTM, SWEREF99
+    TM, Poland CS92) pass their own."""
     e2 = f * (2 - f)
     e4, e6 = e2 * e2, e2 * e2 * e2
     ep2 = e2 / (1 - e2)
+    m0 = _tm_m0(a, e2, lat0) if lat0 else 0.0
     phi = F.radians(lat)
     dlam = F.radians(lon - F.lit(lon0))
     sinp, cosp, tanp = F.sin(phi), F.cos(phi), F.tan(phi)
@@ -324,13 +344,14 @@ def tm_forward(
         + (15 * e4 / 256 + 45 * e6 / 1024) * F.sin(4 * phi)
         - (35 * e6 / 3072) * F.sin(6 * phi)
     )
-    x = TM_FE + TM_K0 * n_rad * (
+    x = fe + k0 * n_rad * (
         aa
         + (1 - t + c) * aa**3 / 6
         + (5 - 18 * t + t * t + 72 * c - 58 * ep2) * aa**5 / 120
     )
-    y = fn + TM_K0 * (
+    y = fn + k0 * (
         m
+        - m0
         + n_rad
         * tanp
         * (
@@ -343,7 +364,8 @@ def tm_forward(
 
 
 def tm_inverse(
-    x: Column, y: Column, a: float, f: float, lon0: float, fn: float
+    x: Column, y: Column, a: float, f: float, lon0: float, fn: float,
+    k0: float = TM_K0, fe: float = TM_FE, lat0: float = 0.0,
 ) -> tuple[Column, Column]:
     """Transverse-mercator -> geographic (Snyder eqs 8-16..8-25)."""
     import math
@@ -352,7 +374,8 @@ def tm_inverse(
     e4, e6 = e2 * e2, e2 * e2 * e2
     ep2 = e2 / (1 - e2)
     e1 = (1 - math.sqrt(1 - e2)) / (1 + math.sqrt(1 - e2))
-    m = (y - F.lit(fn)) / TM_K0
+    m0 = _tm_m0(a, e2, lat0) if lat0 else 0.0
+    m = (y - F.lit(fn)) / k0 + m0
     mu = m / (a * (1 - e2 / 4 - 3 * e4 / 64 - 5 * e6 / 256))
     phi1 = (
         mu
@@ -366,7 +389,7 @@ def tm_inverse(
     t1 = tan1 * tan1
     n1 = a / F.sqrt(1 - e2 * sin1 * sin1)
     r1 = a * (1 - e2) / F.pow(1 - e2 * sin1 * sin1, 1.5)
-    d = (x - TM_FE) / (n1 * TM_K0)
+    d = (x - F.lit(fe)) / (n1 * k0)
     lat = F.degrees(
         phi1
         - (n1 * tan1 / r1)
@@ -415,6 +438,58 @@ _ALBERS_DEFS: dict[int, tuple] = {
 _LAEA_DEFS: dict[int, tuple] = {
     3035: (_GRS80, 52.0, 10.0, 4321000.0, 3210000.0),              # ETRS89 / LAEA Europe
 }
+
+
+_AIRY1830 = (6377563.396, 1.0 / 299.3249646)
+
+# national transverse-mercator grids: (ellipsoid, lat0, lon0, k0, FE, FN)
+_TM_NATIONAL_DEFS: dict[int, tuple] = {
+    27700: (_AIRY1830, 49.0, -2.0, 0.9996012717, 400000.0, -100000.0),  # OSGB 1936 / British National Grid
+    2193: (_GRS80, 0.0, 173.0, 0.9996, 1600000.0, 10000000.0),          # NZGD2000 / NZTM2000
+    3006: (_GRS80, 0.0, 15.0, 0.9996, 500000.0, 0.0),                   # SWEREF99 TM
+    2180: (_GRS80, 0.0, 19.0, 0.9993, 500000.0, -5300000.0),            # ETRS89 / Poland CS92
+}
+
+
+def tm_national_params(code: int):
+    """(a, f, lon0, fn, k0, fe, lat0) for a national TM grid, else None."""
+    d = _TM_NATIONAL_DEFS.get(code)
+    if d is None:
+        return None
+    (a, f), lat0, lon0, k0, fe, fn = d
+    return a, f, lon0, fn, k0, fe, lat0
+
+
+def tm_national_forward_py(lon: float, lat: float, code: int) -> tuple[float, float]:
+    """Pure-Python mirror of tm_forward for the national grids (shared
+    constants/series) — property tests and oracle-SQL control literals."""
+    a, f, lon0, fn, k0, fe, lat0 = tm_national_params(code)
+    e2 = f * (2 - f)
+    e4, e6 = e2 * e2, e2 ** 3
+    ep2 = e2 / (1 - e2)
+    m0 = _tm_m0(a, e2, lat0) if lat0 else 0.0
+    phi = _math.radians(lat)
+    dlam = _math.radians(lon - lon0)
+    sp, cp, tp = _math.sin(phi), _math.cos(phi), _math.tan(phi)
+    n = a / _math.sqrt(1 - e2 * sp * sp)
+    t, c, aa = tp * tp, ep2 * cp * cp, dlam * cp
+    m = a * (
+        (1 - e2 / 4 - 3 * e4 / 64 - 5 * e6 / 256) * phi
+        - (3 * e2 / 8 + 3 * e4 / 32 + 45 * e6 / 1024) * _math.sin(2 * phi)
+        + (15 * e4 / 256 + 45 * e6 / 1024) * _math.sin(4 * phi)
+        - (35 * e6 / 3072) * _math.sin(6 * phi)
+    )
+    x = fe + k0 * n * (
+        aa + (1 - t + c) * aa ** 3 / 6
+        + (5 - 18 * t + t * t + 72 * c - 58 * ep2) * aa ** 5 / 120
+    )
+    y = fn + k0 * (
+        m - m0 + n * tp * (
+            aa * aa / 2 + (5 - t + 9 * c + 4 * c * c) * aa ** 4 / 24
+            + (61 - 58 * t + t * t + 600 * c - 330 * ep2) * aa ** 6 / 720
+        )
+    )
+    return x, y
 
 
 def _lcc_m(phi: float, e2: float) -> float:
@@ -655,9 +730,15 @@ def stereo_forward(lon: Column, lat: Column, code: int) -> tuple[Column, Column]
 
 
 def stereo_inverse(x: Column, y: Column, code: int) -> tuple[Column, Column]:
-    """Oblique-stereographic inverse (EPSG GN7-2 §1.3.7.1). The
-    isometric-latitude Newton step converges quadratically; 4 steps
-    reach double precision. Feed COLUMN REFERENCES for roundtrips."""
+    """Oblique-stereographic inverse (EPSG GN7-2 §1.3.7.1). The phi
+    recovery uses the isometric-latitude FIXED-POINT form
+    (phi = 2 atan(e^psi ((1+e sin phi)/(1-e sin phi))^(e/2)) - pi/2),
+    which references phi only TWICE per unrolled step — a Newton step
+    references it ~5x, and each reference replicates the whole
+    upstream subtree in Catalyst, making 4 Newton steps a ~600x
+    expression blowup (measured: 9 s of plan build for this family
+    alone). 4 fixed-point steps (contraction ~e^2/2) reach ~1e-11 deg.
+    Feed COLUMN REFERENCES for roundtrips."""
     k = stereo_constants(code)
     ex, ny = x - F.lit(k["fe"]), y - F.lit(k["fn"])
     g = 2 * k["r"] * k["k0"] * _math.tan(_math.pi / 4 - k["chi0"] / 2)
@@ -667,21 +748,15 @@ def stereo_inverse(x: Column, y: Column, code: int) -> tuple[Column, Column]:
     chi = k["chi0"] + 2 * F.atan((ny - ex * F.tan(j / 2)) / (2 * k["r"] * k["k0"]))
     lam = j + 2 * i + k["lon0"]
     lon = F.degrees((lam - k["lon0"]) / k["n"] + k["lon0"])
-    # chi -> phi: invert the conformal-sphere mapping via isometric
-    # latitude psi (Newton, 4 unrolled steps)
     psi = (
         F.log((1 + F.sin(chi)) / (k["c"] * (1 - F.sin(chi)))) / (2 * k["n"])
     )
     phi = 2 * F.atan(F.exp(psi)) - F.pi() / 2
     for _ in range(4):
         s = F.sin(phi)
-        psi_i = F.log(
-            F.tan(phi / 2 + F.pi() / 4)
-            * F.pow((1 - k["e"] * s) / (1 + k["e"] * s), k["e"] / 2)
-        )
-        phi = phi - (psi_i - psi) * F.cos(phi) * (1 - k["e2"] * s * s) / (
-            1 - k["e2"]
-        )
+        phi = 2 * F.atan(
+            F.exp(psi) * F.pow((1 + k["e"] * s) / (1 - k["e"] * s), k["e"] / 2)
+        ) - F.pi() / 2
     return lon, F.degrees(phi)
 
 
@@ -780,6 +855,14 @@ def reproject_bounds(
         lon0, lat0 = tm_inverse(minx, miny, *p)
         lon1, lat1 = tm_inverse(maxx, maxy, *p)
         return F.array(lon0, lat0, lon1, lat1)
+    if source == 4326 and (p := tm_national_params(target)) is not None:
+        x0, y0 = tm_forward(minx, miny, *p)
+        x1, y1 = tm_forward(maxx, maxy, *p)
+        return F.array(x0, y0, x1, y1)
+    if target == 4326 and (p := tm_national_params(source)) is not None:
+        lon0, lat0 = tm_inverse(minx, miny, *p)
+        lon1, lat1 = tm_inverse(maxx, maxy, *p)
+        return F.array(lon0, lat0, lon1, lat1)
     if source == 4326 and target in _CONIC_FWD:
         x0, y0 = _CONIC_FWD[target](minx, miny)
         x1, y1 = _CONIC_FWD[target](maxx, maxy)
@@ -791,6 +874,7 @@ def reproject_bounds(
     raise ValueError(
         f"unsupported CRS pair {source}->{target}; closed-form subset is "
         "4326<->3857, 4326<->UTM, and 4326<->{LCC 2154/3034/3978, "
-        "Albers 5070/3577, LAEA 3035, RD-New 28992} "
+        "Albers 5070/3577, LAEA 3035, RD-New 28992, national TM "
+        "27700/2193/3006/2180} "
         "(no GDAL in this environment)"
     )

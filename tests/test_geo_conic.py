@@ -219,3 +219,44 @@ def test_rdnew_oblique_stereographic():
     kx = math.hypot(x1 - x0, y1 - y0) / (nu * math.cos(phi) * math.radians(d))
     ky = math.hypot(x2 - x0, y2 - y0) / (rho * math.radians(d))
     assert abs(kx - ky) < 1e-6
+
+
+def test_tm_national_grids():
+    # origin exactness for every national TM grid
+    for code in (27700, 2193, 3006, 2180):
+        a, f, lon0, fn, k0, fe, lat0 = geo.tm_national_params(code)
+        e, n = geo.tm_national_forward_py(lon0, lat0, code)
+        assert abs(e - fe) < 1e-6 and abs(n - fn) < 1e-6, code
+    # Ordnance Survey worked example (Caister water tower):
+    # 52d39m27.2531sN 1d43m4.5177sE -> E 651409.903 N 313177.270
+    e, n = geo.tm_national_forward_py(
+        1 + 43 / 60 + 4.5177 / 3600, 52 + 39 / 60 + 27.2531 / 3600, 27700
+    )
+    assert abs(e - 651409.903) < 0.005
+    assert abs(n - 313177.270) < 0.005
+
+
+def test_tm_national_spark_roundtrip(spark):
+    # staged forward->inverse through the Column implementation
+    from pygeodatacrawler_spark.functions.geo import (
+        tm_forward,
+        tm_inverse,
+        tm_national_params,
+    )
+
+    df = spark.createDataFrame(
+        [(-3.5, 51.5), (-0.25, 52.75), (0.25, 55.0)], "lon double, lat double"
+    )
+    p = tm_national_params(27700)
+    fx, fy = tm_forward(F.col("lon"), F.col("lat"), *p)
+    staged = df.select("lon", "lat", fx.alias("_x"), fy.alias("_y"))
+    rlon, rlat = tm_inverse(F.col("_x"), F.col("_y"), *p)
+    for r in staged.select("lon", "lat", rlon.alias("rl"), rlat.alias("rp")).collect():
+        assert abs(r["rl"] - r["lon"]) < 1e-7
+        assert abs(r["rp"] - r["lat"]) < 1e-7
+        ex, en = geo.tm_national_forward_py(r["lon"], r["lat"], 27700)
+        # and the Column forward matches the mirror
+    rows = staged.collect()
+    for r in rows:
+        ex, en = geo.tm_national_forward_py(r["lon"], r["lat"], 27700)
+        assert abs(r["_x"] - ex) < 1e-6 and abs(r["_y"] - en) < 1e-6
