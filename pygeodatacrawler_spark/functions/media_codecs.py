@@ -430,6 +430,190 @@ def encode_geotiff_fixture(
     return out.getvalue()
 
 
+# -- PNG (S4: the reference's GRID_FILE_TYPES include png; GDAL reads
+# paletted PNGs as one index band with the tRNS entry as nodata — see
+# demo/grid/home.png + its GDAL .aux.xml statistics sidecar) ----------------
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+# samples per pixel by color type: gray, -, RGB, palette, gray+A, -, RGBA
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+
+
+def decode_png(payload: bytes | None) -> dict:
+    """PNG -> raster metadata + per-band pixel min/max/mean.
+
+    Pure stdlib/numpy: chunk walk, zlib IDAT, scanline filter reversal
+    (all five filter types). Supported: 8/16-bit, color types
+    0/2/3/4/6, interlace 0. Paletted images report ONE band of palette
+    indices with the first fully-transparent tRNS index as nodata —
+    exactly how GDAL indexes them (the reference's home.png golden:
+    min 1, max 253 excluding the transparent index). Alpha==0 pixels
+    are excluded from color-band stats like GDAL's mask. Malformed or
+    unsupported input -> all-None fields, never a raise.
+    """
+    none = {
+        "width": None, "height": None, "n_bands": None, "nodata": None,
+        "band_min": None, "band_max": None, "band_mean": None,
+    }
+    if not payload or not payload.startswith(_PNG_SIG):
+        return none
+    try:
+        import zlib
+
+        import numpy as np
+
+        pos = 8
+        ihdr = None
+        idat = bytearray()
+        trns = None
+        while pos + 8 <= len(payload):
+            (ln,), typ = struct.unpack(">I", payload[pos : pos + 4]), payload[
+                pos + 4 : pos + 8
+            ]
+            data = payload[pos + 8 : pos + 8 + ln]
+            if typ == b"IHDR":
+                ihdr = struct.unpack(">IIBBBBB", data[:13])
+            elif typ == b"IDAT":
+                idat += data
+            elif typ == b"tRNS":
+                trns = data
+            elif typ == b"IEND":
+                break
+            pos += 12 + ln
+        if ihdr is None:
+            return none
+        w, h, depth, ctype, comp, filt, interlace = ihdr
+        meta = {**none, "width": int(w), "height": int(h)}
+        ch = _PNG_CHANNELS.get(ctype)
+        meta["n_bands"] = ch if ctype != 3 else 1
+        if (
+            ch is None or comp != 0 or filt != 0 or interlace != 0
+            or depth not in (8, 16) or not idat or w == 0 or h == 0
+        ):
+            return meta  # header facts only, honest no-stats
+        raw = zlib.decompress(bytes(idat))
+        bpp = ch * depth // 8  # filter unit: bytes per pixel
+        stride = w * bpp
+        if len(raw) < h * (stride + 1):
+            return meta
+        out = np.zeros((h, stride), dtype=np.uint8)
+        prev = np.zeros(stride, dtype=np.uint8)
+        o = 0
+        for r in range(h):
+            ftype = raw[o]
+            line = np.frombuffer(raw[o + 1 : o + 1 + stride], dtype=np.uint8)
+            o += 1 + stride
+            if ftype == 0:
+                cur = line.copy()
+            elif ftype == 2:  # Up
+                cur = (line + prev).astype(np.uint8)
+            else:  # Sub/Average/Paeth need the left pixel: sequential
+                cur = np.empty(stride, dtype=np.uint8)
+                for i in range(stride):
+                    x = int(line[i])
+                    a = int(cur[i - bpp]) if i >= bpp else 0
+                    b = int(prev[i])
+                    if ftype == 1:
+                        x += a
+                    elif ftype == 3:
+                        x += (a + b) // 2
+                    elif ftype == 4:
+                        c = int(prev[i - bpp]) if i >= bpp else 0
+                        p = a + b - c
+                        pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                        x += a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                    cur[i] = x & 0xFF
+            out[r] = cur
+            prev = cur
+        if depth == 16:
+            px = out.reshape(h, w, ch, 2)
+            samples = (
+                px[..., 0].astype(np.uint16) << 8 | px[..., 1]
+            ).reshape(h * w, ch)
+        else:
+            samples = out.reshape(h * w, ch)
+
+        nodata = None
+        if ctype == 3:
+            # first fully transparent palette index == GDAL's nodata
+            if trns:
+                zeros = [i for i, a in enumerate(trns) if a == 0]
+                if zeros:
+                    nodata = float(zeros[0])
+            vals = samples[:, 0].astype(np.float64)
+            if nodata is not None:
+                vals = vals[vals != nodata]
+            bands = [vals]
+        elif ctype in (4, 6):
+            alpha = samples[:, -1]
+            mask = alpha != 0
+            bands = [samples[mask, b].astype(np.float64) for b in range(ch - 1)]
+            meta["n_bands"] = ch - 1  # alpha is the mask, not a data band
+        else:
+            bands = [samples[:, b].astype(np.float64) for b in range(ch)]
+        meta["nodata"] = nodata
+        meta["band_min"] = [float(v.min()) if v.size else None for v in bands]
+        meta["band_max"] = [float(v.max()) if v.size else None for v in bands]
+        meta["band_mean"] = [
+            float(v.mean()) if v.size else None for v in bands
+        ]
+        return meta
+    except (struct.error, ValueError, Exception):  # noqa: BLE001 — total
+        return none
+
+
+def encode_png_fixture(
+    width: int,
+    height: int,
+    ctype: int = 0,
+    base: int = 10,
+    filter_type: int = 0,
+) -> bytes:
+    """Minimal valid PNG for fixtures: gray8 (ctype 0) or RGB8 (2) with
+    a deterministic ramp pixel(r,c,b) = base*(b+1) + (r*width+c) % 200,
+    encoded with one filter type for decode coverage."""
+    import zlib
+
+    import numpy as np
+
+    ch = _PNG_CHANNELS[ctype]
+    px = np.empty((height, width, ch), dtype=np.uint8)
+    ramp = (np.arange(height * width) % 200).reshape(height, width)
+    for b in range(ch):
+        px[:, :, b] = (base * (b + 1) + ramp) % 256
+    flat = px.reshape(height, width * ch)
+    bpp = ch
+    lines = bytearray()
+    prev = np.zeros(width * ch, dtype=np.uint8)
+    for r in range(height):
+        cur = flat[r]
+        if filter_type == 0:
+            enc = cur
+        elif filter_type == 2:
+            enc = (cur - prev).astype(np.uint8)
+        elif filter_type == 1:
+            shifted = np.concatenate([np.zeros(bpp, np.uint8), cur[:-bpp]])
+            enc = (cur - shifted).astype(np.uint8)
+        else:
+            raise ValueError("fixture supports filters 0/1/2")
+        lines += bytes([filter_type]) + enc.tobytes()
+        prev = cur
+
+    def chunk(typ: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data)) + typ + data
+            + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, ctype, 0, 0, 0)
+    return (
+        _PNG_SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(lines)))
+        + chunk(b"IEND", b"")
+    )
+
+
 # -- vector: GeoJSON + ESRI Shapefile (S5) ----------------------------------
 
 # the reference's OGR geometry-type buckets (utils.py:132-141):

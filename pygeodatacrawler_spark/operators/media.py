@@ -11,14 +11,17 @@ decoders (functions/media_codecs.py):
 - ``application/vnd.openxmlformats-officedocument.spreadsheetml.sheet``
   -> core properties + sheet list, the ``parseExcel`` surface
   (utils.py:416-423);
+- ``image/png`` -> full pixel decode (chunks, zlib, all five scanline
+  filters): per-band min/max with GDAL's paletted-index + tRNS-nodata
+  semantics — reproduces the reference demo's .aux.xml statistics;
 - ``application/geo+json`` / ``application/x-esri-shape`` (S5) -> the
   OGR layer introspection subset (utils.py:118-158): feature count,
   mcf geomtype bucket, attribute name:type list, bounds.
 
 Any other media type yields byte-level metadata only (n_bytes; format
 fields null) — an honest "no decoder for this type", not a fake.
-Formats that genuinely need native libs (PNG pixels, audio, video)
-slot in as new branches of ``_DECODERS`` in production.
+Formats that genuinely need native libs (JPEG, audio, video codecs)
+slot in as new branches the same way.
 """
 
 from __future__ import annotations
@@ -32,11 +35,13 @@ from pygeodatacrawler_spark.functions.media_codecs import (
     decode_dbf,
     decode_geojson,
     decode_geotiff,
+    decode_png,
     decode_shapefile,
     decode_xlsx,
 )
 
 XLSX_TYPE = "application/vnd.openxmlformats-officedocument.spreadsheetml.sheet"
+PNG_TYPE = "image/png"
 GEOJSON_TYPE = "application/geo+json"
 SHAPEFILE_TYPE = "application/x-esri-shape"
 DBF_TYPE = "application/x-dbf"
@@ -64,6 +69,11 @@ def _decode_one(payload, media_type: str) -> dict:
     meta["n_bytes"] = 0 if payload is None else len(payload)
     if media_type == "image/tiff":
         meta.update(decode_geotiff(payload))
+    elif media_type == PNG_TYPE:
+        png = decode_png(payload)
+        meta.update({k: png[k] for k in (
+            "width", "height", "n_bands", "nodata", "band_min", "band_max"
+        )})
     elif media_type == XLSX_TYPE:
         x = decode_xlsx(payload)
         meta.update(

@@ -95,3 +95,47 @@ def test_reference_demo_golden():
     assert dims[0]["min"] == 2566
     assert dims[0]["max"] == 6598
     assert dims[0]["nodata"] == -32768
+
+
+def test_png_decode_reference_golden():
+    """home.png vs the reference's GDAL statistics sidecar
+    (demo/grid/home.png.aux.xml): band 1 min 1, max 253,
+    mean 101.31386861314 — paletted indices with tRNS index 0 as
+    nodata, exactly GDAL's reading."""
+    import os
+
+    import pytest
+
+    from pygeodatacrawler_spark.functions.media_codecs import decode_png
+
+    p = "/root/reference/demo/grid/home.png"
+    if not os.path.exists(p):
+        pytest.skip("no reference demo")
+    with open(p, "rb") as f:
+        m = decode_png(f.read())
+    assert (m["width"], m["height"], m["n_bands"]) == (33, 34, 1)
+    assert m["nodata"] == 0.0
+    assert m["band_min"] == [1.0] and m["band_max"] == [253.0]
+    assert abs(m["band_mean"][0] - 101.31386861314) < 1e-9
+
+
+def test_png_fixture_filters_and_totality():
+    from pygeodatacrawler_spark.functions.media_codecs import (
+        decode_png,
+        encode_png_fixture,
+    )
+
+    for ct in (0, 2):
+        for ft in (0, 1, 2):
+            m = decode_png(encode_png_fixture(9, 7, ctype=ct, base=10,
+                                              filter_type=ft))
+            nb = 1 if ct == 0 else 3
+            assert m["n_bands"] == nb
+            assert m["band_min"] == [float(10 * (k + 1)) for k in range(nb)]
+            assert m["band_max"] == [float(10 * (k + 1) + 62) for k in range(nb)]
+    assert decode_png(b"not a png")["width"] is None
+    assert decode_png(None)["width"] is None
+    # truncated-after-header: honest header facts, no stats, no raise
+    b = encode_png_fixture(5, 4)
+    m = decode_png(b[:40])
+    assert m["width"] == 5 and m["band_min"] is None
