@@ -50,6 +50,10 @@ _TAG_STRIP_COUNTS = 279
 _TAG_PLANAR = 284
 _TAG_PREDICTOR = 317
 _TAG_SAMPLE_FORMAT = 339
+_TAG_TILE_WIDTH = 322
+_TAG_TILE_LENGTH = 323
+_TAG_TILE_OFFSETS = 324
+_TAG_TILE_COUNTS = 325
 _TAG_PIXEL_SCALE = 33550
 _TAG_TIEPOINT = 33922
 _TAG_GEOKEYS = 34735
@@ -172,19 +176,20 @@ def _band_stats(
     ``srcband.ComputeStatistics(0)`` pass (utils.py:73-88), computed
     directly from the strip data with stdlib zlib + numpy.
 
-    Supported layout: strip-organized TIFF, uncompressed (1) or
-    deflate (8/32946), predictor none/horizontal (1/2), chunky or
-    planar (284), uniform 8/16/32/64-bit uint/int/float samples.
-    Anything else (tiles, LZW, JPEG, float-predictor) -> (None, None):
-    an honest "no stats", never a wrong number. ``nodata`` pixels (and
-    float NaNs) are excluded, like GDAL statistics.
+    Supported layouts: strip- OR tile-organized TIFF, uncompressed (1)
+    or deflate (8/32946), predictor none/horizontal (1/2), chunky or
+    planar (284), uniform 8/16/32/64-bit uint/int/float samples. Edge
+    tiles are clipped to the image region before stats (their padding
+    is junk). Anything else (LZW, JPEG, float-predictor) ->
+    (None, None): an honest "no stats", never a wrong number.
+    ``nodata`` pixels (and float NaNs) are excluded, like GDAL
+    statistics.
     """
+    tiled = _TAG_TILE_OFFSETS in tags and _TAG_TILE_COUNTS in tags
     if (
-        _TAG_STRIP_OFFSETS not in tags
-        or _TAG_STRIP_COUNTS not in tags
-        or not width
-        or not height
-    ):
+        not tiled
+        and (_TAG_STRIP_OFFSETS not in tags or _TAG_STRIP_COUNTS not in tags)
+    ) or not width or not height:
         return None, None
     comp = int(tags.get(_TAG_COMPRESSION, (1,))[0])
     pred = int(tags.get(_TAG_PREDICTOR, (1,))[0])
@@ -209,9 +214,18 @@ def _band_stats(
     import numpy as np
 
     dt = np.dtype(f"{bo}{ {1: 'u', 2: 'i', 3: 'f'}[sfmt] }{bits // 8}")
-    offs, cnts = tags[_TAG_STRIP_OFFSETS], tags[_TAG_STRIP_COUNTS]
-    rps = int(tags.get(_TAG_ROWS_PER_STRIP, (height,))[0]) or height
-    strips_per_band = (height + rps - 1) // rps
+    if tiled:
+        offs, cnts = tags[_TAG_TILE_OFFSETS], tags[_TAG_TILE_COUNTS]
+        tw = int(tags[_TAG_TILE_WIDTH][0])
+        tl = int(tags[_TAG_TILE_LENGTH][0])
+        if tw <= 0 or tl <= 0:
+            return None, None
+        tiles_across = (width + tw - 1) // tw
+        tiles_per_band = tiles_across * ((height + tl - 1) // tl)
+    else:
+        offs, cnts = tags[_TAG_STRIP_OFFSETS], tags[_TAG_STRIP_COUNTS]
+        rps = int(tags.get(_TAG_ROWS_PER_STRIP, (height,))[0]) or height
+        strips_per_band = (height + rps - 1) // rps
     mins: list = [None] * n_bands
     maxs: list = [None] * n_bands
 
@@ -236,6 +250,32 @@ def _band_stats(
             if comp in (8, 32946):
                 raw = zlib.decompress(raw)
             arr = np.frombuffer(raw, dtype=dt)
+            if tiled:
+                # tile geometry: clip the right/bottom edge padding to
+                # the image region BEFORE stats (predictor first — it
+                # runs over the tile's full padded rows)
+                ti = si % tiles_per_band
+                band0 = si // tiles_per_band
+                if band0 >= (n_bands if planar == 2 else 1):
+                    return None, None
+                ty, tx = divmod(ti, tiles_across)
+                nb_t = n_bands if planar == 1 else 1
+                if arr.size != tw * tl * nb_t:
+                    return None, None
+                rows = arr.reshape(tl, tw, nb_t)
+                if pred == 2:
+                    rows = np.cumsum(rows, axis=1, dtype=rows.dtype)
+                vrows = min(tl, height - ty * tl)
+                vcols = min(tw, width - tx * tw)
+                if vrows <= 0 or vcols <= 0:
+                    return None, None
+                rows = rows[:vrows, :vcols, :]
+                if planar == 1:
+                    for b in range(n_bands):
+                        _feed(b, rows[:, :, b].ravel())
+                else:
+                    _feed(band0, rows.ravel())
+                continue
             if planar == 1:
                 if arr.size % (width * n_bands):
                     return None, None

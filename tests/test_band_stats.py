@@ -139,3 +139,25 @@ def test_png_fixture_filters_and_totality():
     b = encode_png_fixture(5, 4)
     m = decode_png(b[:40])
     assert m["width"] == 5 and m["band_min"] is None
+
+
+@pytest.mark.skipif(not os.path.exists(REF_GRID), reason="no reference demo")
+def test_reference_demo_goldens_all_rasters():
+    """Every demo raster with a shipped GDAL .aux.xml statistics
+    sidecar must reproduce it exactly: 00002_mod.tif (strip, single
+    band: min 2566 max 10000) and era5-temperature_2m.tif (TILED
+    512x512 deflate+predictor int16, 56% nodata: min 2853 max 2966)."""
+    with open(f"{REF_GRID}/00002_mod.tif", "rb") as f:
+        m = decode_geotiff(f.read())
+    assert m["n_bands"] == 1
+    assert m["band_min"] == [2566.0] and m["band_max"] == [10000.0]
+
+    with open(f"{REF_GRID}/era5-temperature_2m.tif", "rb") as f:
+        m = decode_geotiff(f.read())
+    assert (m["width"], m["height"], m["n_bands"]) == (2271, 1990, 1)
+    assert m["epsg"] == "EPSG:32736" and m["nodata"] == -32768.0
+    assert m["band_min"] == [2853.0] and m["band_max"] == [2966.0]
+
+    with open(f"{REF_GRID}/00003.tif", "rb") as f:
+        m = decode_geotiff(f.read())
+    assert m["n_bands"] == 4 and m["band_min"][0] == 1658.0
