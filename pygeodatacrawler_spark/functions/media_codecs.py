@@ -654,6 +654,104 @@ def encode_png_fixture(
     )
 
 
+# -- GeoPackage (S5: OGR's GPKG driver surface — a GeoPackage is a
+# SQLite file with gpkg_contents / gpkg_geometry_columns metadata
+# tables, so stdlib sqlite3.deserialize introspects it without OGR) --------
+
+
+def decode_gpkg(payload: bytes | None) -> dict:
+    """GeoPackage -> the OGR layer introspection subset the reference
+    reads (utils.py:118-158): first features layer's name, mcf geomtype
+    bucket, feature count, attribute name:type list, bounds, EPSG.
+    Total: malformed/non-sqlite input -> all-None fields."""
+    none = {
+        "layer": None, "geomtype": None, "n_features": None,
+        "attrs": None, "bounds": None, "epsg": None,
+    }
+    if not payload or not payload.startswith(b"SQLite format 3\x00"):
+        return none
+    import sqlite3
+
+    try:
+        con = sqlite3.connect(":memory:")
+        try:
+            con.deserialize(payload)
+            row = con.execute(
+                "select table_name, min_x, min_y, max_x, max_y, srs_id "
+                "from gpkg_contents where data_type='features' "
+                "order by table_name limit 1"
+            ).fetchone()
+            if row is None:
+                return none
+            table, minx, miny, maxx, maxy, srs = row
+            geom = con.execute(
+                "select geometry_type_name from gpkg_geometry_columns "
+                "where table_name = ?", (table,)
+            ).fetchone()
+            n = con.execute(
+                f'select count(*) from "{table}"'  # noqa: S608 — name from gpkg_contents
+            ).fetchone()[0]
+            cols = con.execute(f'pragma table_info("{table}")').fetchall()
+            # attribute list like the OGR defn: skip pk + geometry column
+            geom_cols = {
+                r[0] for r in con.execute(
+                    "select column_name from gpkg_geometry_columns "
+                    "where table_name = ?", (table,)
+                )
+            }
+            type_map = {
+                "INTEGER": "Integer", "MEDIUMINT": "Integer",
+                "DOUBLE": "Real", "REAL": "Real", "FLOAT": "Real",
+                "TEXT": "String", "DATE": "Date", "DATETIME": "DateTime",
+                "BOOLEAN": "Integer", "BLOB": "Binary",
+            }
+            attrs = ",".join(
+                f"{name}:{type_map.get(str(ctype).upper(), str(ctype))}"
+                for _, name, ctype, *_ in cols
+                if name not in geom_cols and name != "fid"
+            )
+            bounds = (
+                [float(minx), float(miny), float(maxx), float(maxy)]
+                if None not in (minx, miny, maxx, maxy)
+                else None
+            )
+            return {
+                "layer": table,
+                "geomtype": _mcf_geomtype(geom[0] if geom else None),
+                "n_features": int(n),
+                "attrs": attrs or None,
+                "bounds": bounds,
+                "epsg": f"EPSG:{int(srs)}" if srs is not None and int(srs) > 0 else None,
+            }
+        finally:
+            con.close()
+    except Exception:  # noqa: BLE001 — decoders are total
+        return none
+
+
+def decode_parquet_meta(payload: bytes | None) -> dict:
+    """Parquet -> row count + column name:type list from the footer
+    only (pyarrow metadata read, no data materialization)."""
+    none = {"n_features": None, "attrs": None}
+    if not payload or len(payload) < 8 or payload[:4] != b"PAR1":
+        return none
+    try:
+        import io as _io
+
+        import pyarrow.parquet as _pq
+
+        pf = _pq.ParquetFile(_io.BytesIO(payload))
+        schema = pf.schema_arrow
+        return {
+            "n_features": int(pf.metadata.num_rows),
+            "attrs": ",".join(
+                f"{f.name}:{f.type}" for f in schema
+            ) or None,
+        }
+    except Exception:  # noqa: BLE001
+        return none
+
+
 # -- vector: GeoJSON + ESRI Shapefile (S5) ----------------------------------
 
 # the reference's OGR geometry-type buckets (utils.py:132-141):

@@ -14,9 +14,12 @@ decoders (functions/media_codecs.py):
 - ``image/png`` -> full pixel decode (chunks, zlib, all five scanline
   filters): per-band min/max with GDAL's paletted-index + tRNS-nodata
   semantics — reproduces the reference demo's .aux.xml statistics;
-- ``application/geo+json`` / ``application/x-esri-shape`` (S5) -> the
+- ``application/geo+json`` / ``application/x-esri-shape`` /
+  ``application/geopackage+sqlite3`` (stdlib sqlite3.deserialize over
+  gpkg_contents/gpkg_geometry_columns) /
+  ``application/vnd.apache.parquet`` (pyarrow footer-only) (S5) -> the
   OGR layer introspection subset (utils.py:118-158): feature count,
-  mcf geomtype bucket, attribute name:type list, bounds.
+  mcf geomtype bucket, attribute name:type list, bounds, EPSG.
 
 Any other media type yields byte-level metadata only (n_bytes; format
 fields null) — an honest "no decoder for this type", not a fake.
@@ -35,6 +38,8 @@ from pygeodatacrawler_spark.functions.media_codecs import (
     decode_dbf,
     decode_geojson,
     decode_geotiff,
+    decode_gpkg,
+    decode_parquet_meta,
     decode_png,
     decode_shapefile,
     decode_xlsx,
@@ -45,6 +50,8 @@ PNG_TYPE = "image/png"
 GEOJSON_TYPE = "application/geo+json"
 SHAPEFILE_TYPE = "application/x-esri-shape"
 DBF_TYPE = "application/x-dbf"
+GPKG_TYPE = "application/geopackage+sqlite3"
+PARQUET_TYPE = "application/vnd.apache.parquet"
 
 MEDIA_META_SCHEMA = (
     "media_type string, n_bytes long, width int, height int, "
@@ -86,6 +93,13 @@ def _decode_one(payload, media_type: str) -> dict:
         meta.update(decode_shapefile(payload))
     elif media_type == DBF_TYPE:
         meta.update(decode_dbf(payload))
+    elif media_type == GPKG_TYPE:
+        g = decode_gpkg(payload)
+        meta.update({k: g[k] for k in (
+            "geomtype", "n_features", "attrs", "bounds", "epsg"
+        )})
+    elif media_type == PARQUET_TYPE:
+        meta.update(decode_parquet_meta(payload))
     return meta
 
 

@@ -79,3 +79,31 @@ def test_vector_maize_raster():
     assert m["epsg"] == "EPSG:32736" and m["nodata"] == 255.0
     # binary presence mask: every valid pixel is 1
     assert m["band_min"] == [1.0] and m["band_max"] == [1.0]
+
+
+def test_various_geopackage():
+    from pygeodatacrawler_spark.functions.media_codecs import decode_gpkg
+
+    g = decode_gpkg(_read(f"{DEMO}/various/kenya-soil.gpkg"))
+    assert g["layer"] == "soils"
+    assert g["geomtype"] == "surface"  # MultiPolygon -> surface bucket
+    assert g["n_features"] == 3259
+    assert g["epsg"] == "EPSG:4326"
+    assert g["attrs"].startswith("AREA:Real,PERIMETER:Real")
+    minx, miny, maxx, maxy = g["bounds"]
+    assert 33.0 < minx < maxx < 42.0 and -5.0 < miny < maxy < 6.0
+    assert decode_gpkg(b"not sqlite")["layer"] is None
+    assert decode_gpkg(None)["layer"] is None
+
+
+def test_various_parquet_footer():
+    from pygeodatacrawler_spark.functions.media_codecs import (
+        decode_parquet_meta,
+    )
+
+    m = decode_parquet_meta(_read(f"{DEMO}/various/example.parquet"))
+    assert m["n_features"] == 5
+    assert m["attrs"].startswith("pop_est:double,continent:string")
+    assert "geometry:binary" in m["attrs"]
+    assert decode_parquet_meta(b"PAR1junk")["n_features"] is None
+    assert decode_parquet_meta(None)["n_features"] is None
