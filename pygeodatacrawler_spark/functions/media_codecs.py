@@ -654,6 +654,37 @@ def encode_png_fixture(
     )
 
 
+# -- OGR VRT (S5: the reference's demo indexes cities.vrt — a small
+# XML wrapper naming a source file, geometry type and SRS) ------------------
+
+
+def decode_vrt(payload: bytes | None) -> dict:
+    """OGR VRT XML -> first layer's name, mcf geomtype bucket (from
+    ``wkbPoint``-style GeometryType), SRS text resolved via crs
+    normalization downstream, and the referenced source file name.
+    Total on malformed XML."""
+    none = {"layer": None, "geomtype": None, "src": None, "srs": None}
+    if not payload:
+        return none
+    try:
+        root = ET.fromstring(payload)
+        if root.tag != "OGRVRTDataSource":
+            return none
+        layer = root.find("OGRVRTLayer")
+        if layer is None:
+            return none
+        gt = layer.findtext("GeometryType") or ""
+        src = (layer.findtext("SrcDataSource") or "").strip()
+        return {
+            "layer": layer.get("name"),
+            "geomtype": _mcf_geomtype(gt.removeprefix("wkb")),
+            "src": src or None,
+            "srs": (layer.findtext("LayerSRS") or "").strip() or None,
+        }
+    except ET.ParseError:
+        return none
+
+
 # -- GeoPackage (S5: OGR's GPKG driver surface — a GeoPackage is a
 # SQLite file with gpkg_contents / gpkg_geometry_columns metadata
 # tables, so stdlib sqlite3.deserialize introspects it without OGR) --------

@@ -107,3 +107,15 @@ def test_various_parquet_footer():
     assert "geometry:binary" in m["attrs"]
     assert decode_parquet_meta(b"PAR1junk")["n_features"] is None
     assert decode_parquet_meta(None)["n_features"] is None
+
+
+def test_vector_vrt():
+    from pygeodatacrawler_spark.functions.media_codecs import decode_vrt
+
+    v = decode_vrt(_read(f"{DEMO}/vector/cities.vrt"))
+    assert v == {
+        "layer": "cities", "geomtype": "point",
+        "src": "./cities.csv", "srs": "WGS84",
+    }
+    assert decode_vrt(b"<notvrt/>")["layer"] is None
+    assert decode_vrt(b"\x00\x01")["layer"] is None
