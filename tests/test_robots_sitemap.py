@@ -1,0 +1,147 @@
+"""robots.txt (RFC 9309 subset) + sitemap.xml parsing, and the
+end-to-end path: parsed rules -> broadcast robots table ->
+apply_robots filtering the exact URLs the rules name."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from pygeodatacrawler_spark.functions.robots import (
+    parse_robots_py,
+    parse_sitemap_py,
+    robots_rules_row,
+    robots_table,
+    seeds_from_sitemaps,
+)
+
+ROBOTS = """\
+# global comment
+Sitemap: https://example.org/sitemap.xml
+
+User-agent: googlebot
+Disallow: /private/
+
+User-agent: pygeodatacrawler
+User-agent: otherbot
+Disallow: /tmp/
+Disallow: /*.pdf$
+Allow: /tmp/ok/
+Crawl-delay: 2.5
+
+User-agent: *
+Disallow: /all/
+Sitemap: https://example.org/sitemap2.xml
+"""
+
+
+def test_group_selection_longest_ua_match():
+    r = parse_robots_py(ROBOTS, "pygeodatacrawler/0.9")
+    assert r["disallow"] == ["/tmp/", "/*.pdf$"]
+    assert r["allow"] == ["/tmp/ok/"]
+    assert r["crawl_delay"] == 2.5
+    assert r["sitemaps"] == [
+        "https://example.org/sitemap.xml",
+        "https://example.org/sitemap2.xml",
+    ]
+    # unknown agent falls back to *
+    star = parse_robots_py(ROBOTS, "randombot")
+    assert star["disallow"] == ["/all/"] and star["crawl_delay"] is None
+    # googlebot picks its specific group over *
+    g = parse_robots_py(ROBOTS, "Googlebot-Image")
+    assert g["disallow"] == ["/private/"]
+
+
+def test_parse_totality_and_edge_lines():
+    assert parse_robots_py(None)["disallow"] == []
+    assert parse_robots_py(b"\xff\xfe garbage")["disallow"] == []
+    # empty Disallow means allow-all; rules before any UA are ignored
+    r = parse_robots_py("Disallow: /x/\nUser-agent: *\nDisallow:\n", "a")
+    assert r["disallow"] == []
+
+
+def test_rules_row_regex_semantics():
+    row = robots_rules_row("example.org", ROBOTS)
+    import re
+
+    pat = re.compile(row["skip_pattern"])
+    assert pat.search("https://www.example.org/tmp/page.html")
+    assert pat.search("https://example.org/docs/file.pdf")  # /*.pdf$
+    assert not pat.search("https://example.org/docs/file.pdf?x=1")  # $ anchored
+    assert not pat.search("https://example.org/docs/page.html")
+    assert row["crawl_delay"] == 2.5
+    # no rules -> NULL pattern (apply_robots never filters)
+    empty = robots_rules_row("clean.org", "User-agent: *\nDisallow:\n")
+    assert empty["skip_pattern"] is None
+
+
+def test_robots_table_feeds_apply_robots(spark):
+    from pygeodatacrawler_spark.operators.frontier import apply_robots
+
+    dim = spark.createDataFrame(
+        [("example.org", ROBOTS), ("clean.org", "User-agent: *\nDisallow:\n")],
+        "registered_domain string, robots_txt string",
+    )
+    rules = robots_table(dim).drop("sitemaps")
+    frontier = spark.createDataFrame(
+        [
+            ("example.org", "https://www.example.org/tmp/a.html"),
+            ("example.org", "https://www.example.org/ok/a.html"),
+            ("example.org", "https://www.example.org/x/doc.pdf"),
+            ("clean.org", "https://clean.org/tmp/a.html"),
+            ("missing.org", "https://missing.org/tmp/a.html"),
+        ],
+        "registered_domain string, canon_url string",
+    )
+    kept = {r["canon_url"] for r in apply_robots(frontier, rules).collect()}
+    assert kept == {
+        "https://www.example.org/ok/a.html",
+        "https://clean.org/tmp/a.html",
+        "https://missing.org/tmp/a.html",
+    }
+
+
+SITEMAP = b"""<?xml version="1.0"?>
+<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">
+  <url><loc>https://example.org/a.html</loc><lastmod>2024-01-02</lastmod></url>
+  <url><loc>https://example.org/b.html</loc></url>
+  <url><priority>0.5</priority></url>
+</urlset>"""
+
+SITEMAP_INDEX = b"""<?xml version="1.0"?>
+<sitemapindex xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">
+  <sitemap><loc>https://example.org/sm1.xml</loc></sitemap>
+  <sitemap><loc>https://example.org/sm2.xml</loc></sitemap>
+</sitemapindex>"""
+
+
+def test_parse_sitemap_variants():
+    u = parse_sitemap_py(SITEMAP)
+    assert u["kind"] == "urlset"
+    assert u["urls"] == [
+        ("https://example.org/a.html", "2024-01-02"),
+        ("https://example.org/b.html", None),
+    ]
+    i = parse_sitemap_py(SITEMAP_INDEX)
+    assert i["kind"] == "sitemapindex"
+    assert i["sitemaps"] == [
+        "https://example.org/sm1.xml", "https://example.org/sm2.xml",
+    ]
+    assert parse_sitemap_py(b"<broken")["kind"] is None
+    assert parse_sitemap_py(None)["kind"] is None
+    assert parse_sitemap_py(b"<other/>")["kind"] is None
+
+
+def test_seeds_from_sitemaps_spark(spark):
+    df = spark.createDataFrame(
+        [(SITEMAP.decode(),), (SITEMAP_INDEX.decode(),)],
+        "sitemap_xml string",
+    )
+    rows = seeds_from_sitemaps(df).collect()
+    urls = {r["url"] for r in rows}
+    assert urls == {
+        "https://example.org/a.html", "https://example.org/b.html",
+        "https://example.org/sm1.xml", "https://example.org/sm2.xml",
+    }
+    assert all(r["depth"] == 0 for r in rows)
+    mods = {r["url"]: r["lastmod"] for r in rows}
+    assert mods["https://example.org/a.html"] == "2024-01-02"
