@@ -103,3 +103,78 @@ def make_http_fetch_fn(
                 yield pd.DataFrame({"url": out_urls, "html": out_html})
 
     return _fetch
+
+
+def fetch_robots_table(
+    urls_df,
+    url_col: str = "url",
+    user_agent: str | None = None,
+    version: str = "",
+    contact: str | None = None,
+    timeout: float = 5.0,
+    max_pages: int | None = None,
+):
+    """Seed/frontier URLs -> the engine's broadcast robots table, by
+    fetching ``scheme://host/robots.txt`` ONCE per registered domain.
+
+    The domain dimension is broadcast-sized by definition (one row per
+    domain), but the fetch still runs executor-side as one Arrow pass
+    — no driver-side HTTP loop. Missing/erroring robots.txt yields an
+    unrestricted row (NULL pattern, delay 0), matching a crawler's
+    allow-on-absence semantics. Output columns drop straight into
+    ``CrawlEngine(robots=...)`` (+ a ``sitemaps`` array for
+    functions.robots.seeds_from_sitemaps).
+    """
+    import pyspark.sql.functions as F
+
+    from pygeodatacrawler_spark.functions.robots import (
+        DEFAULT_UA,
+        ROBOTS_TABLE_SCHEMA,
+        robots_rules_row,
+    )
+    from pygeodatacrawler_spark.functions.urls import registered_domain
+
+    ua = user_agent or default_user_agent(version, contact) or DEFAULT_UA
+    dim = (
+        urls_df.select(
+            registered_domain(F.col(url_col)).alias("registered_domain"),
+            F.concat(
+                F.regexp_extract(
+                    F.col(url_col), r"^([a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]+)", 1
+                ),
+                F.lit("/robots.txt"),
+            ).alias("robots_url"),
+        )
+        .filter(F.col("robots_url") != "/robots.txt")
+        .groupBy("registered_domain")
+        .agg(F.min("robots_url").alias("robots_url"))
+    )
+
+    def _fetch_parse(pdf_iter):
+        import pandas as pd  # noqa: PLC0415 (executor-side)
+        import requests  # noqa: PLC0415
+
+        hdr = {"User-Agent": ua}
+        with requests.Session() as session:
+            for pdf in pdf_iter:
+                rows = []
+                for dom, rurl in zip(
+                    pdf["registered_domain"], pdf["robots_url"]
+                ):
+                    text = None
+                    try:
+                        r = session.get(rurl, headers=hdr, timeout=timeout)
+                        if r.status_code == 200:
+                            text = r.text
+                    except requests.exceptions.RequestException:
+                        text = None  # unreachable -> unrestricted
+                    rows.append(
+                        robots_rules_row(dom, text, ua, max_pages=max_pages)
+                    )
+                yield pd.DataFrame(rows, columns=[
+                    "registered_domain", "skip_pattern",
+                    "no_recurse_prefix", "crawl_delay", "max_pages",
+                    "sitemaps",
+                ])
+
+    return dim.mapInPandas(_fetch_parse, schema=ROBOTS_TABLE_SCHEMA)

@@ -154,3 +154,67 @@ def test_http_crawl_matches_store_crawl(spark, corpus_server):
     got = sorted(map(tuple, eng_http.records.read().select(*cols).collect()))
     want = sorted(map(tuple, eng_store.records.read().select(*cols).collect()))
     assert got == want  # byte-identical extraction, same rounds/order
+
+
+def test_fetch_robots_table_end_to_end(spark):
+    """Serve a robots.txt over localhost; fetch_robots_table must build
+    the broadcast rules row (anchored Disallow alternation, crawl
+    delay, sitemap list), a missing robots.txt must yield an
+    unrestricted row, and the rules must drive apply_robots."""
+    from pygeodatacrawler_spark.operators.fetch import fetch_robots_table
+    from pygeodatacrawler_spark.operators.frontier import apply_robots
+
+    robots_body = (
+        b"User-agent: *\nDisallow: /secret/\nCrawl-delay: 1.5\n"
+        b"Sitemap: /sitemap.xml\n"
+    )
+
+    class Handler(BaseHTTPRequestHandler):
+        def do_GET(self):
+            if self.path == "/robots.txt":
+                self.send_response(200)
+                self.send_header("Content-Length", str(len(robots_body)))
+                self.end_headers()
+                self.wfile.write(robots_body)
+            else:
+                self.send_error(404)
+
+        def log_message(self, *args):
+            pass
+
+    srv = ThreadingHTTPServer(("127.0.0.1", 0), Handler)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        port = srv.server_address[1]
+        base = f"http://127.0.0.1:{port}"
+        # a second, unreachable "domain" must come back unrestricted
+        dead = "http://127.1.2.3:1/index.html"
+        seeds = spark.createDataFrame(
+            [(f"{base}/index.html",), (f"{base}/secret/x.html",), (dead,)],
+            "url string",
+        )
+        rules = fetch_robots_table(seeds, timeout=2.0)
+        rows = {r["registered_domain"]: r for r in rules.collect()}
+        live = rows["0.1"]  # registered_domain of 127.0.0.1 (2-label)
+        assert live["crawl_delay"] == 1.5
+        assert live["sitemaps"] == ["/sitemap.xml"]
+        assert "/secret/" in live["skip_pattern"]
+        dead_row = rows["2.3"]
+        assert dead_row["skip_pattern"] is None
+        assert dead_row["crawl_delay"] == 0.0
+
+        frontier = spark.createDataFrame(
+            [
+                ("0.1", f"{base}/ok.html"),
+                ("0.1", f"{base}/secret/x.html"),
+            ],
+            "registered_domain string, canon_url string",
+        )
+        kept = [
+            r["canon_url"]
+            for r in apply_robots(frontier, rules.drop("sitemaps")).collect()
+        ]
+        assert kept == [f"{base}/ok.html"]
+    finally:
+        srv.shutdown()
