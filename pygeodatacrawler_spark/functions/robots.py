@@ -105,6 +105,56 @@ def _path_rule_to_regex(rule: str) -> str:
     return frag + ("$" if anchored else "")
 
 
+# every per-rule regex is anchored at the end of the URL authority, so
+# rules match the path exactly like RFC 9309 matches request paths
+_URL_HEAD = r"^[a-z][a-z0-9+.-]*://[^/]*"
+
+
+def _combined_pattern(rules: list[str]) -> str | None:
+    if not rules:
+        return None
+    alts = "|".join(_path_rule_to_regex(d) for d in rules)
+    return _URL_HEAD + "(?:" + alts + ")"
+
+
+def _rule_structs(rules: list[str]) -> list[dict]:
+    """Per-rule (regex, priority) pairs for RFC 9309 §2.2.2
+    longest-match resolution. Priority is the OCTET LENGTH OF THE RULE
+    ITSELF (not the matched span): that is what "the match that has
+    the most octets" means in the RFC and what Google's open-source
+    parser implements (priority = pattern length), and it keeps ties
+    deterministic under ``*`` wildcards where greedy spans differ."""
+    return [
+        {"rx": _URL_HEAD + "(?:" + _path_rule_to_regex(r) + ")", "prio": len(r)}
+        for r in rules
+    ]
+
+
+def match_prio_py(canon_url: str, rules: list[dict]) -> int:
+    """Longest-match priority of ``canon_url`` against rule structs
+    (-1 = no rule matches). Python twin of the JVM-side aggregate in
+    operators/frontier.apply_robots; also drives the oracle."""
+    best = -1
+    for r in rules:
+        if r["prio"] > best and re.search(r["rx"], canon_url):
+            best = r["prio"]
+    return best
+
+
+def robots_allowed_py(
+    canon_url: str,
+    disallow_rules: list[dict],
+    allow_rules: list[dict],
+) -> bool:
+    """RFC 9309 §2.2.2 verdict for one URL: the matching rule with the
+    most octets wins; on a tie the least restrictive (Allow) wins; no
+    matching rule means allowed."""
+    dis = match_prio_py(canon_url, disallow_rules or [])
+    if dis < 0:
+        return True
+    return match_prio_py(canon_url, allow_rules or []) >= dis
+
+
 def robots_rules_row(
     registered_domain: str,
     text: str | bytes | None,
@@ -112,29 +162,56 @@ def robots_rules_row(
     max_pages: int | None = None,
 ) -> dict:
     """One robots table row (the apply_robots/pick_batch schema) from
-    one domain's robots.txt. All Disallow rules fold into ONE anchored
-    alternation regex on the canonical URL (scheme://host<path>), so
-    URL-level enforcement stays a single JVM ``rlike``."""
+    one domain's robots.txt.
+
+    Two-tier representation so URL-level enforcement stays JVM-side:
+    ``skip_pattern`` / ``allow_pattern`` fold all Disallow / Allow
+    rules into ONE anchored alternation regex each (a single ``rlike``
+    answers "does ANY rule match"), while ``disallow_rules`` /
+    ``allow_rules`` keep the per-rule (regex, octet-priority) structs
+    that apply_robots aggregates ONLY on the rare rows where both a
+    Disallow and an Allow match and RFC 9309 §2.2.2 longest-match must
+    break the tie."""
     r = parse_robots_py(text, user_agent)
-    skip = None
-    if r["disallow"]:
-        alts = "|".join(_path_rule_to_regex(d) for d in r["disallow"])
-        skip = r"^[a-z][a-z0-9+.-]*://[^/]*(?:" + alts + ")"
     return {
         "registered_domain": registered_domain,
-        "skip_pattern": skip,
+        "skip_pattern": _combined_pattern(r["disallow"]),
         "no_recurse_prefix": None,
         "crawl_delay": r["crawl_delay"] or 0.0,
         "max_pages": max_pages,
+        "allow_pattern": _combined_pattern(r["allow"]),
+        "disallow_rules": _rule_structs(r["disallow"]),
+        "allow_rules": _rule_structs(r["allow"]),
         "sitemaps": r["sitemaps"],
     }
 
 
+def disallow_all_row(
+    registered_domain: str, max_pages: int | None = None
+) -> dict:
+    """The RFC 9309 §2.3.1.4 "assume complete disallow" row — used
+    when a domain's robots.txt answers with a server error (5xx)."""
+    row = robots_rules_row(
+        registered_domain, "User-agent: *\nDisallow: /\n",
+        max_pages=max_pages,
+    )
+    return row
+
+
+RULE_STRUCTS_TYPE = "array<struct<rx:string,prio:int>>"
+
 ROBOTS_TABLE_SCHEMA = (
     "registered_domain string, skip_pattern string, "
     "no_recurse_prefix string, crawl_delay double, max_pages int, "
-    "sitemaps array<string>"
+    f"allow_pattern string, disallow_rules {RULE_STRUCTS_TYPE}, "
+    f"allow_rules {RULE_STRUCTS_TYPE}, sitemaps array<string>"
 )
+
+ROBOTS_TABLE_COLS = [
+    "registered_domain", "skip_pattern", "no_recurse_prefix",
+    "crawl_delay", "max_pages", "allow_pattern", "disallow_rules",
+    "allow_rules", "sitemaps",
+]
 
 
 def robots_table(df, domain_col: str = "registered_domain",
@@ -153,10 +230,7 @@ def robots_table(df, domain_col: str = "registered_domain",
                 robots_rules_row(d, t, user_agent)
                 for d, t in zip(pdf[domain_col], pdf[text_col])
             ]
-            yield pd.DataFrame(rows, columns=[
-                "registered_domain", "skip_pattern", "no_recurse_prefix",
-                "crawl_delay", "max_pages", "sitemaps",
-            ])
+            yield pd.DataFrame(rows, columns=ROBOTS_TABLE_COLS)
 
     return df.select(domain_col, text_col).mapInPandas(
         _parse, schema=ROBOTS_TABLE_SCHEMA

@@ -119,35 +119,67 @@ def fetch_robots_table(
 
     The domain dimension is broadcast-sized by definition (one row per
     domain), but the fetch still runs executor-side as one Arrow pass
-    — no driver-side HTTP loop. Missing/erroring robots.txt yields an
-    unrestricted row (NULL pattern, delay 0), matching a crawler's
-    allow-on-absence semantics. Output columns drop straight into
-    ``CrawlEngine(robots=...)`` (+ a ``sitemaps`` array for
-    functions.robots.seeds_from_sitemaps).
+    — no driver-side HTTP loop.
+
+    Status semantics (RFC 9309 §2.3.1): 200 -> parse; 4xx (and network
+    errors) -> "unavailable", crawl is unrestricted; 5xx -> "assume
+    complete disallow" (the domain row blocks every path until a later
+    refresh succeeds).
+
+    APPROXIMATION (documented): RFC 9309 scopes robots.txt per
+    authority (scheme://host), but the engine's politeness table — like
+    its crawl-delay budget and host salting — is keyed on
+    registered_domain, so ONE host's rules govern the whole domain. The
+    host is chosen deterministically: https over http, the apex host
+    (host == registered_domain) over subdomains, then shortest host,
+    then lexicographic — so ``https://example.org/robots.txt`` is
+    preferred over ``http://api.example.org/robots.txt`` regardless of
+    frontier order. Per-host tables can be had by passing a frontier
+    whose registered_domain column carries the full host.
+
+    Output columns drop straight into ``CrawlEngine(robots=...)``
+    (+ ``allow_pattern``/rule structs for RFC precedence and a
+    ``sitemaps`` array for functions.robots.seeds_from_sitemaps).
     """
     import pyspark.sql.functions as F
 
     from pygeodatacrawler_spark.functions.robots import (
         DEFAULT_UA,
+        ROBOTS_TABLE_COLS,
         ROBOTS_TABLE_SCHEMA,
+        disallow_all_row,
         robots_rules_row,
     )
     from pygeodatacrawler_spark.functions.urls import registered_domain
 
     ua = user_agent or default_user_agent(version, contact) or DEFAULT_UA
+    head = F.regexp_extract(
+        F.col(url_col), r"^([a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]+)", 1
+    )
+    host = F.lower(F.regexp_extract(head, r"://(?:[^/@]*@)?([^/:]+)", 1))
     dim = (
         urls_df.select(
             registered_domain(F.col(url_col)).alias("registered_domain"),
-            F.concat(
-                F.regexp_extract(
-                    F.col(url_col), r"^([a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]+)", 1
-                ),
-                F.lit("/robots.txt"),
-            ).alias("robots_url"),
+            F.concat(head, F.lit("/robots.txt")).alias("robots_url"),
+            host.alias("host"),
         )
         .filter(F.col("robots_url") != "/robots.txt")
         .groupBy("registered_domain")
-        .agg(F.min("robots_url").alias("robots_url"))
+        .agg(
+            F.min(
+                F.struct(
+                    F.when(
+                        F.col("robots_url").startswith("https://"), 0
+                    ).otherwise(1).alias("p_scheme"),
+                    F.when(
+                        F.col("host") == F.col("registered_domain"), 0
+                    ).otherwise(1).alias("p_apex"),
+                    F.length("host").alias("p_len"),
+                    F.col("robots_url").alias("robots_url"),
+                )
+            ).alias("s")
+        )
+        .select("registered_domain", F.col("s.robots_url").alias("robots_url"))
     )
 
     def _fetch_parse(pdf_iter):
@@ -161,20 +193,20 @@ def fetch_robots_table(
                 for dom, rurl in zip(
                     pdf["registered_domain"], pdf["robots_url"]
                 ):
-                    text = None
+                    text, server_error = None, False
                     try:
                         r = session.get(rurl, headers=hdr, timeout=timeout)
                         if r.status_code == 200:
                             text = r.text
+                        elif r.status_code >= 500:
+                            server_error = True
                     except requests.exceptions.RequestException:
-                        text = None  # unreachable -> unrestricted
+                        text = None  # unavailable -> unrestricted
                     rows.append(
-                        robots_rules_row(dom, text, ua, max_pages=max_pages)
+                        disallow_all_row(dom, max_pages=max_pages)
+                        if server_error
+                        else robots_rules_row(dom, text, ua, max_pages=max_pages)
                     )
-                yield pd.DataFrame(rows, columns=[
-                    "registered_domain", "skip_pattern",
-                    "no_recurse_prefix", "crawl_delay", "max_pages",
-                    "sitemaps",
-                ])
+                yield pd.DataFrame(rows, columns=ROBOTS_TABLE_COLS)
 
     return dim.mapInPandas(_fetch_parse, schema=ROBOTS_TABLE_SCHEMA)

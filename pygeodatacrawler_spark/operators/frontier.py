@@ -29,20 +29,60 @@ def apply_robots(frontier: DataFrame, robots: DataFrame) -> DataFrame:
     """Filter the frontier by per-domain politeness rules.
 
     robots(registered_domain, skip_pattern, no_recurse_prefix,
-    crawl_delay, max_pages) is small (one row per domain) -> broadcast.
+    crawl_delay, max_pages[, allow_pattern, disallow_rules,
+    allow_rules]) is small (one row per domain) -> broadcast.
     A NULL rule never filters (hosts without rules are unrestricted).
+
+    Allow precedence (RFC 9309 §2.2.2), when the table carries the
+    robots.txt-derived columns: the matching rule with the most octets
+    wins, Allow winning ties. Tiered so the hot path stays one
+    ``rlike``: no Disallow match -> keep; Disallow match with no Allow
+    match -> drop; only when BOTH combined patterns match does the
+    per-rule ``aggregate``-over-structs longest-match comparison run —
+    per-domain rule arrays live in the broadcast row, so the compare
+    never shuffles. Tables without the allow columns (the reference's
+    folder-config path, fixtures) keep the Disallow-only semantics.
     """
     f = frontier.join(F.broadcast(robots), "registered_domain", "left")
     # rules test the CANONICAL url on both engine and oracle sides — the
     # raw link text can differ per discoverer for one canonical URL
-    keep = (
-        (F.col("skip_pattern").isNull() | ~F.expr("canon_url rlike skip_pattern"))
-        & (
-            F.col("no_recurse_prefix").isNull()
-            | ~F.col("canon_url").startswith(F.col("no_recurse_prefix"))
-        )
+    url = F.col("canon_url")
+    disallow_hit = F.col("skip_pattern").isNotNull() & F.regexp_like(
+        url, F.col("skip_pattern")
     )
-    return f.filter(keep).drop("skip_pattern", "no_recurse_prefix")
+    if "allow_rules" in robots.columns:
+
+        def _best(rules_col):
+            # longest-match priority of the URL over one rule array
+            return F.aggregate(
+                rules_col,
+                F.lit(-1),
+                lambda acc, r: F.greatest(
+                    acc,
+                    F.when(
+                        (r["prio"] > acc) & F.regexp_like(url, r["rx"]),
+                        r["prio"],
+                    ).otherwise(F.lit(-1)),
+                ),
+            )
+
+        allow_hit = F.col("allow_pattern").isNotNull() & F.regexp_like(
+            url, F.col("allow_pattern")
+        )
+        pass_robots = F.when(~disallow_hit, F.lit(True)).otherwise(
+            allow_hit
+            & (_best(F.col("allow_rules")) >= _best(F.col("disallow_rules")))
+        )
+    else:
+        pass_robots = ~disallow_hit
+    keep = pass_robots & (
+        F.col("no_recurse_prefix").isNull()
+        | ~F.col("canon_url").startswith(F.col("no_recurse_prefix"))
+    )
+    return f.filter(keep).drop(
+        "skip_pattern", "no_recurse_prefix", "allow_pattern",
+        "disallow_rules", "allow_rules", "sitemaps",
+    )
 
 
 def pick_batch(

@@ -20,6 +20,7 @@ from dataclasses import dataclass, field
 
 import pandas as pd
 
+from pygeodatacrawler_spark.functions.robots import robots_allowed_py
 from pygeodatacrawler_spark.functions.text import extract_links_py, extract_text_py
 from pygeodatacrawler_spark.functions.urls import (
     canonicalize_url_py,
@@ -45,11 +46,20 @@ def crawl_oracle(
     page_html = dict(zip(pages["url"], pages["html"]))
     rules: dict[str, dict] = {}
     if robots is not None:
+        has_allow = "allow_rules" in robots.columns
         for _, r in robots.iterrows():
             rules[r["registered_domain"]] = {
                 "skip": r["skip_pattern"],
                 "no_recurse": r["no_recurse_prefix"],
                 "max_pages": r["max_pages"],
+                # RFC 9309 longest-match structs (robots.txt-derived
+                # tables only; folder-config tables have no Allow)
+                "disallow_rules": (
+                    list(r["disallow_rules"] or []) if has_allow else None
+                ),
+                "allow_rules": (
+                    list(r["allow_rules"] or []) if has_allow else None
+                ),
             }
 
     # frontier entry: (canon_url, url, domain, depth, discovery_round)
@@ -81,7 +91,16 @@ def crawl_oracle(
             rule = rules.get(e["domain"])
             if rule:
                 if rule["skip"] is not None and re.search(rule["skip"], e["canon_url"]):
-                    continue
+                    if rule.get("disallow_rules") is None:
+                        continue  # Disallow-only table (folder-config)
+                    # RFC 9309 §2.2.2: longest matching rule wins,
+                    # Allow on ties — same helper the engine mirrors
+                    if not robots_allowed_py(
+                        e["canon_url"],
+                        rule["disallow_rules"],
+                        rule["allow_rules"],
+                    ):
+                        continue
                 if rule["no_recurse"] is not None and e["canon_url"].startswith(
                     rule["no_recurse"]
                 ):

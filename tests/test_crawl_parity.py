@@ -60,6 +60,51 @@ def test_extracted_text_byte_identical(crawl_result):
     assert got == oracle.text_sha
 
 
+def test_allow_precedence_crawl_parity(spark):
+    """Engine ↔ oracle parity with a robots table that carries Allow
+    rules: RFC 9309 longest-match must give the same visit order and
+    seen set on both sides, and the allowed exception URLs must
+    actually be crawled."""
+    from pygeodatacrawler_spark.functions.robots import (
+        ROBOTS_TABLE_SCHEMA,
+        robots_rules_row,
+    )
+
+    import pandas as pd
+
+    n_pages, n_hosts = 300, 6
+    pages, seeds, _ = load_pages(spark, n_pages=n_pages, n_hosts=n_hosts)
+    pages_pd, seeds_pd, _ = generate_pages(n_pages=n_pages, n_hosts=n_hosts)
+    txt = "User-agent: *\nDisallow: /tmp-page\nAllow: /tmp-page-18\n"
+    rows = [
+        robots_rules_row(f"host-{i:03d}.org", txt if i % 2 == 0 else None)
+        for i in range(n_hosts)
+    ]
+    robots = spark.createDataFrame(rows, ROBOTS_TABLE_SCHEMA)
+    robots_pd = pd.DataFrame(rows)
+    with tempfile.TemporaryDirectory() as tmp:
+        eng = CrawlEngine(spark, tmp, pages, robots, host_budget=BUDGET)
+        eng.init_from_seeds(seeds)
+        eng.run(max_rounds=30)
+        visits = eng.visits_view().collect()
+        fetched = {
+            v["canon_url"]
+            for v in visits
+        }
+    oracle = crawl_oracle(
+        pages_pd, seeds_pd, robots_pd, host_budget=BUDGET, max_rounds=30
+    )
+    got = sorted((v["round"], v["rank_in_round"], v["canon_url"]) for v in visits)
+    want = sorted(
+        (v["round"], v["rank_in_round"], v["canon_url"]) for v in oracle.visits
+    )
+    assert got == want
+    # the Allow exception was actually crawled on a Disallow'd host,
+    # and other tmp-pages on that host were not
+    host0_tmp = {u for u in fetched if "host-000" in u and "tmp-page" in u}
+    assert host0_tmp == {"https://www.host-000.org/tmp-page-18.html"}
+
+
 def test_lineage_written(crawl_result):
     _, _, _, lineage, oracle = crawl_result
     assert len(lineage) >= 1

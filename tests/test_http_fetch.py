@@ -218,3 +218,75 @@ def test_fetch_robots_table_end_to_end(spark):
         assert kept == [f"{base}/ok.html"]
     finally:
         srv.shutdown()
+
+
+def test_fetch_robots_5xx_means_complete_disallow(spark):
+    """RFC 9309 §2.3.1: a 5xx robots.txt answer means "assume complete
+    disallow"; a 404 stays unrestricted; Allow rules fetched over HTTP
+    drive longest-match precedence end-to-end."""
+    from pygeodatacrawler_spark.operators.fetch import fetch_robots_table
+    from pygeodatacrawler_spark.operators.frontier import apply_robots
+
+    robots_body = b"User-agent: *\nDisallow: /a\nAllow: /a/b\n"
+
+    class Handler(BaseHTTPRequestHandler):
+        def do_GET(self):
+            if self.path != "/robots.txt":
+                self.send_error(404)
+            elif self.server.server_address[1] == Handler.err_port:
+                self.send_error(503)
+            else:
+                self.send_response(200)
+                self.send_header("Content-Length", str(len(robots_body)))
+                self.end_headers()
+                self.wfile.write(robots_body)
+
+        def log_message(self, *args):
+            pass
+
+    ok_srv = ThreadingHTTPServer(("127.0.0.1", 0), Handler)
+    err_srv = ThreadingHTTPServer(("127.0.0.1", 0), Handler)
+    Handler.err_port = err_srv.server_address[1]
+    threads = []
+    for srv in (ok_srv, err_srv):
+        t = threading.Thread(target=srv.serve_forever, daemon=True)
+        t.start()
+        threads.append(t)
+    try:
+        ok_base = f"http://127.0.0.1:{ok_srv.server_address[1]}"
+        err_base = f"http://127.0.0.1:{err_srv.server_address[1]}"
+        # distinct registered domains: give the 5xx host a fake domain
+        # column by crawling per full-host frontier rows below; the
+        # fetch itself keys on registered_domain, so use one URL per
+        # server and distinguish by port in skip behavior instead
+        seeds = spark.createDataFrame(
+            [(f"{err_base}/x.html",)], "url string"
+        )
+        rules = fetch_robots_table(seeds, timeout=2.0)
+        row = rules.collect()[0]
+        # complete disallow: the Disallow:/ pattern blocks every path
+        assert row["skip_pattern"] is not None
+        frontier = spark.createDataFrame(
+            [(row["registered_domain"], f"{err_base}/anything.html")],
+            "registered_domain string, canon_url string",
+        )
+        assert apply_robots(frontier, rules).count() == 0
+
+        seeds_ok = spark.createDataFrame([(f"{ok_base}/x.html",)], "url string")
+        rules_ok = fetch_robots_table(seeds_ok, timeout=2.0)
+        dom = rules_ok.collect()[0]["registered_domain"]
+        frontier_ok = spark.createDataFrame(
+            [
+                (dom, f"{ok_base}/a/b/page.html"),
+                (dom, f"{ok_base}/a/c.html"),
+                (dom, f"{ok_base}/free.html"),
+            ],
+            "registered_domain string, canon_url string",
+        )
+        kept = {
+            r["canon_url"] for r in apply_robots(frontier_ok, rules_ok).collect()
+        }
+        assert kept == {f"{ok_base}/a/b/page.html", f"{ok_base}/free.html"}
+    finally:
+        ok_srv.shutdown()
+        err_srv.shutdown()

@@ -85,6 +85,7 @@ def test_robots_table_feeds_apply_robots(spark):
     frontier = spark.createDataFrame(
         [
             ("example.org", "https://www.example.org/tmp/a.html"),
+            ("example.org", "https://www.example.org/tmp/ok/b.html"),
             ("example.org", "https://www.example.org/ok/a.html"),
             ("example.org", "https://www.example.org/x/doc.pdf"),
             ("clean.org", "https://clean.org/tmp/a.html"),
@@ -94,9 +95,42 @@ def test_robots_table_feeds_apply_robots(spark):
     )
     kept = {r["canon_url"] for r in apply_robots(frontier, rules).collect()}
     assert kept == {
+        # Allow: /tmp/ok/ (len 8) beats Disallow: /tmp/ (len 5) — RFC
+        # 9309 §2.2.2 longest-match enforced end-to-end
+        "https://www.example.org/tmp/ok/b.html",
         "https://www.example.org/ok/a.html",
         "https://clean.org/tmp/a.html",
         "https://missing.org/tmp/a.html",
+    }
+
+
+def test_apply_robots_precedence_e2e(spark):
+    """The verdict's done-criterion case: Disallow: /a + Allow: /a/b
+    crawls /a/b and skips /a/c."""
+    from pygeodatacrawler_spark.operators.frontier import apply_robots
+
+    txt = "User-agent: *\nDisallow: /a\nAllow: /a/b\n"
+    dim = spark.createDataFrame(
+        [("site.org", txt)], "registered_domain string, robots_txt string"
+    )
+    frontier = spark.createDataFrame(
+        [
+            ("site.org", "https://site.org/a/b"),
+            ("site.org", "https://site.org/a/b/deep.html"),
+            ("site.org", "https://site.org/a/c"),
+            ("site.org", "https://site.org/a"),
+            ("site.org", "https://site.org/elsewhere"),
+        ],
+        "registered_domain string, canon_url string",
+    )
+    kept = {
+        r["canon_url"]
+        for r in apply_robots(frontier, robots_table(dim)).collect()
+    }
+    assert kept == {
+        "https://site.org/a/b",
+        "https://site.org/a/b/deep.html",
+        "https://site.org/elsewhere",
     }
 
 
