@@ -2392,10 +2392,21 @@ def q_export_render(spark, sf_dir):
     return out
 
 
+# mirror of sources/export._js: backslash + quote, RFC 8259 short
+# escapes for \b \t \n \f \r, remaining C0 controls stripped — format
+# with .format(x=<sql expr>)
+SQL_JS_ESCAPE = (
+    "regexp_replace("
+    "replace(replace(replace(replace(replace(replace(replace("
+    """{x}, '\\', '\\\\'), '"', '\\"'), chr(8), '\\b'), """
+    "chr(9), '\\t'), chr(10), '\\n'), chr(12), '\\f'), "
+    "chr(13), '\\r'), "
+    "'[\\x00-\\x07\\x0b\\x0e-\\x1f]', '', 'g')"
+)
+
+
 def _sql_export_render() -> str:
-    esc_j = (
-        """replace(replace({x}, '\\', '\\\\'), '"', '\\"')"""
-    )
+    esc_j = SQL_JS_ESCAPE
     esc_x = (
         "replace(replace(replace({x}, '&', '&amp;'), '<', '&lt;'),"
         " '>', '&gt;')"

@@ -53,12 +53,42 @@ def extract_text_py(html: bytes | None) -> str | None:
     return " ".join(txt.split())
 
 
+# sitemap payload sniff: an XML root of urlset/sitemapindex within the
+# head of the payload (namespace-prefix tolerant). HTML never matches,
+# so the <a href> path below is byte-for-byte unchanged for pages.
+_SITEMAP_SNIFF_RE = re.compile(rb"<\s*(?:[A-Za-z0-9._-]+:)?(?:urlset|sitemapindex)[\s>]")
+
+
 def extract_links_py(html: bytes | None, base_url: str | None) -> list[str]:
-    """Absolute http(s) hrefs, document order, first occurrence wins."""
+    """Absolute http(s) hrefs, document order, first occurrence wins.
+
+    Sitemap dispatch: a payload whose XML root is ``urlset`` or
+    ``sitemapindex`` yields its ``<loc>`` URLs (page locations and/or
+    child-sitemap locations) as the links instead of ``<a href>``
+    extraction — so a crawl that fetches a sitemap (from robots.txt
+    Sitemap lines or a seed) walks nested sitemapindex trees to every
+    leaf URL with no special casing in the loop. Locs follow BFS
+    depth+1 like any discovered link. Shared by the distributed
+    extract stage and the sequential oracle, so crawl parity holds by
+    construction."""
     if html is None or base_url is None:
         return []
     out: list[str] = []
     seen: set[str] = set()
+    if _SITEMAP_SNIFF_RE.search(html[:1024]):
+        from pygeodatacrawler_spark.functions.robots import parse_sitemap_py
+
+        sm = parse_sitemap_py(html)
+        if sm["kind"] is not None:
+            for raw in [u for u, _ in sm["urls"]] + sm["sitemaps"]:
+                absu = urljoin(base_url, raw.strip())
+                if not absu.startswith(("http://", "https://")):
+                    continue
+                if absu not in seen:
+                    seen.add(absu)
+                    out.append(absu)
+            return out
+        # sniffed but malformed XML: fall through to href extraction
     for m in _HREF_RE.finditer(html):
         raw = m.group(1).decode("utf-8", errors="replace").strip()
         if not raw or raw.startswith(("javascript:", "mailto:", "data:")):

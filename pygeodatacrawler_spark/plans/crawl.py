@@ -766,9 +766,19 @@ class CrawlEngine:
             self._frontier_df = self.frontier.read().cache()
         else:
             delta = self.frontier.read_version_only(delta_v)
-            kept = frontier.join(
-                F.broadcast(delta.select("url_hash")), "url_hash", "left_anti"
-            )
+            # anti-join ONLY on the fetched flip keys (= this round's
+            # batch, bounded by hosts x budget): the pending delta rows
+            # are new keys by construction (the seen filter guarantees
+            # they are not in the committed frontier), so they need no
+            # anti-join — and with high link fan-out the full delta key
+            # set can be many times the batch, exactly the thing NOT to
+            # broadcast. Above the batch-side broadcast gate (same 4M
+            # keys = 32 MB rationale as bloom_min_frontier) drop the
+            # hint and let AQE choose the join.
+            flips = delta.filter(F.col("state") == "fetched").select("url_hash")
+            if n_batch <= self.bloom_min_frontier:
+                flips = F.broadcast(flips)
+            kept = frontier.join(flips, "url_hash", "left_anti")
             self._frontier_prev = self._frontier_df
             self._frontier_df = kept.unionByName(
                 delta.select(*FRONTIER_COLS)

@@ -45,8 +45,22 @@ def _xml(c: Column) -> Column:
 
 
 def _js(c: Column) -> Column:
-    """Minimal JSON string escape (backslash then double quote)."""
-    return F.regexp_replace(F.regexp_replace(c, r"\\", r"\\\\"), '"', '\\\\"')
+    """JSON string escape: backslash and double quote, then the RFC
+    8259 short escapes for the C0 controls that have them (\\b \\t \\n
+    \\f \\r); the remaining controls (U+0000–07, 0B, 0E–1F) are
+    stripped — they carry no text and a \\u00XX hex render is not
+    expressible as a column expression. Mirrored verbatim by the
+    DuckDB oracle (entry_queries._sql_export_render) so payload parity
+    is byte-exact."""
+    c = F.regexp_replace(F.regexp_replace(c, r"\\", r"\\\\"), '"', '\\\\"')
+    for ch, esc in (
+        ("\u0008", r"\\b"), ("\t", r"\\t"), ("\n", r"\\n"),
+        ("\u000c", r"\\f"), ("\r", r"\\r"),
+    ):
+        c = F.regexp_replace(c, ch, esc)
+    return F.regexp_replace(
+        c, "[\u0000-\u0007\u000b\u000e-\u001f]", ""
+    )
 
 
 def _dec6(name: str) -> Column:

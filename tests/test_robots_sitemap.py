@@ -165,6 +165,72 @@ def test_parse_sitemap_variants():
     assert parse_sitemap_py(b"<other/>")["kind"] is None
 
 
+def test_crawl_walks_nested_sitemap_tree(spark):
+    """E2E: a crawl seeded on a sitemapindex fetches the child
+    sitemaps it names, then the grandchild sitemap, then every leaf
+    URL — and the sequential oracle (same shared extractor) reproduces
+    the visit order exactly."""
+    import tempfile
+
+    import pandas as pd
+
+    from pygeodatacrawler_spark.oracle.refcrawl import crawl_oracle
+    from pygeodatacrawler_spark.plans.crawl import CrawlEngine
+
+    base = "https://site.org"
+    leaves = [f"{base}/leaf-{i}.html" for i in range(6)]
+
+    def urlset(urls):
+        locs = "".join(f"<url><loc>{u}</loc></url>" for u in urls)
+        return (
+            '<?xml version="1.0"?><urlset xmlns='
+            '"http://www.sitemaps.org/schemas/sitemap/0.9">'
+            f"{locs}</urlset>"
+        ).encode()
+
+    def smindex(urls):
+        locs = "".join(f"<sitemap><loc>{u}</loc></sitemap>" for u in urls)
+        return (
+            '<?xml version="1.0"?><sitemapindex xmlns='
+            '"http://www.sitemaps.org/schemas/sitemap/0.9">'
+            f"{locs}</sitemapindex>"
+        ).encode()
+
+    docs = {
+        f"{base}/sitemap_index.xml": smindex(
+            [f"{base}/sm1.xml", f"{base}/sm2.xml"]
+        ),
+        f"{base}/sm1.xml": urlset(leaves[:3]),
+        # nested: sm2 is ANOTHER index -> sm3 (3 levels total)
+        f"{base}/sm2.xml": smindex([f"{base}/sm3.xml"]),
+        f"{base}/sm3.xml": urlset(leaves[3:]),
+    }
+    for i, u in enumerate(leaves):
+        docs[u] = f"<html><body><p>leaf {i}</p></body></html>".encode()
+
+    pages_pd = pd.DataFrame({"url": list(docs), "html": list(docs.values())})
+    seeds_pd = pd.DataFrame({"url": [f"{base}/sitemap_index.xml"], "depth": 0})
+    pages = spark.createDataFrame(
+        [(u, bytearray(b)) for u, b in docs.items()], "url string, html binary"
+    )
+    seeds = spark.createDataFrame([(f"{base}/sitemap_index.xml", 0)],
+                                  "url string, depth int")
+    with tempfile.TemporaryDirectory() as tmp:
+        eng = CrawlEngine(spark, tmp, pages, host_budget=50)
+        eng.init_from_seeds(seeds)
+        eng.run(max_rounds=10)
+        visits = eng.visits_view().collect()
+    got_urls = {v["canon_url"] for v in visits}
+    assert set(leaves) <= got_urls  # every leaf discovered + fetched
+    assert len(got_urls) == len(docs)  # index + children + leaves
+    oracle = crawl_oracle(pages_pd, seeds_pd, None, host_budget=50)
+    got = sorted((v["round"], v["rank_in_round"], v["canon_url"]) for v in visits)
+    want = sorted(
+        (v["round"], v["rank_in_round"], v["canon_url"]) for v in oracle.visits
+    )
+    assert got == want
+
+
 def test_seeds_from_sitemaps_spark(spark):
     df = spark.createDataFrame(
         [(SITEMAP.decode(),), (SITEMAP_INDEX.decode(),)],

@@ -82,6 +82,43 @@ def test_export_profiles(spark):
             assert top_keys <= set(doc)
 
 
+def test_json_escape_control_chars(spark):
+    """_js must produce VALID JSON for control characters in field
+    values (newline/tab in a title were previously passed through raw),
+    and the DuckDB oracle's SQL_JS_ESCAPE must produce byte-identical
+    payload text."""
+    import json as _json
+
+    import duckdb
+
+    from pygeodatacrawler_spark.entry_queries import SQL_JS_ESCAPE
+    from pygeodatacrawler_spark.sources.export import _js
+
+    nasty = [
+        'line1\nline2\ttabbed "quoted" back\\slash',
+        "cr\rlf\n mix \x08\x0c",
+        "bell\x07 and \x01 controls \x1f end",
+        "plain",
+    ]
+    df = spark.createDataFrame([(s,) for s in nasty], "title string")
+    got = [r["e"] for r in df.select(_js(F.col("title")).alias("e")).collect()]
+    for s, e in zip(nasty, got):
+        # wrapping in quotes must yield valid JSON that round-trips the
+        # text minus the stripped no-short-escape controls
+        decoded = _json.loads('"' + e + '"')
+        expect = "".join(
+            ch for ch in s if ch >= " " or ch in "\b\t\n\f\r"
+        )
+        assert decoded == expect
+
+    con = duckdb.connect()
+    sql = ", ".join(
+        SQL_JS_ESCAPE.format(x=f"${i + 1}") for i in range(len(nasty))
+    )
+    want = list(con.execute(f"select {sql}", nasty).fetchone())
+    assert got == want
+
+
 def test_windowed_page_counts_stream(spark, tmp_path):
     pages, _, _ = load_pages(spark, n_pages=200, n_hosts=5)
     src = str(tmp_path / "stream_src")

@@ -301,9 +301,12 @@ def run_pairs(job: str, lo_cpus: int, hi_cpus: int, n_draws: int) -> None:
             flush=True,
         )
     effs.sort()
-    median = effs[len(effs) // 2] if len(effs) % 2 else round(
-        (effs[len(effs) // 2 - 1] + effs[len(effs) // 2]) / 2, 3
-    )
+    if not effs:  # every draw gated on the idle check
+        median = None
+    elif len(effs) % 2:
+        median = effs[len(effs) // 2]
+    else:
+        median = round((effs[len(effs) // 2 - 1] + effs[len(effs) // 2]) / 2, 3)
     print(
         json.dumps(
             {
