@@ -1853,6 +1853,11 @@ _CONIC_GRIDS: dict[str, tuple[int, float, float, float, float, tuple[float, floa
     # RD New oblique stereographic; control = the EPSG GN7-2 §1.3.7.1
     # worked example (53N 6E -> 196105.28 E / 557057.74 N)
     "rdnew28992": (28992, 3.25, 0.15625, 50.75, 0.109375, (6.0, 53.0)),
+    # round-5 PROJ_DEFS additions (parameter-driven registry): RGF93
+    # CC48 conic-conformal zone + California Albers, controls at the
+    # projection origins (exact by definition)
+    "cc48_3948": (3948, -1.0, 0.3125, 47.25, 0.0625, (3.0, 48.0)),
+    "albers3310": (3310, -124.0, 0.3125, 32.5, 0.375, (-120.0, 0.0)),
 }
 
 # National transverse-mercator grids: oracled like the 'utm' family —
@@ -1869,6 +1874,12 @@ _TMNAT_GRIDS: dict[str, tuple[int, float, float, float, float, tuple[float, floa
     "nztm2193": (2193, 169.5, 0.25, -46.0, 0.375, (173.0, 0.0)),
     "sweref3006": (3006, 11.0, 0.3125, 55.25, 0.5, (15.0, 0.0)),
     "cs92_2180": (2180, 15.5, 0.25, 49.0, 0.25, (19.0, 0.0)),
+    # round-5 PROJ_DEFS additions: TM35FIN, an MGA94 zone (southern
+    # false northing), a DHDN Gauss-Krüger zone (Bessel, k0=1) —
+    # controls pin each grid origin (exact by definition)
+    "tm35fin3067": (3067, 23.5, 0.3125, 60.0, 0.375, (27.0, 0.0)),
+    "mga28355": (28355, 143.5, 0.3125, -44.0, 0.375, (147.0, 0.0)),
+    "gk31467": (31467, 5.5, 0.3125, 47.5, 0.25, (9.0, 0.0)),
 }
 
 

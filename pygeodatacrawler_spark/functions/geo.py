@@ -189,6 +189,10 @@ _FUZZY_ZONES: list[tuple[str, int]] = [
     (r"nad83 / utm zone (\d{1,2})n", 26900),
     (r"sirgas 2000 / utm zone (\d{1,2})s", 31960),
     (r"gda94 / mga zone (\d{1,2})", 28300),
+    # round-5: ladders now reprojectable via PROJ_DEFS
+    (r"rgf93(?: v1)? / cc(\d{2})", 3900),
+    (r"dhdn / 3-degree gauss-kruger zone (\d)", 31464),
+    (r"etrs89 / poland cs2000 zone (\d)", 2171),
 ]
 
 
@@ -425,29 +429,110 @@ def tm_inverse(
 
 import math as _math
 
-# (ellipsoid, lat0, lon0, lat1, lat2, FE, FN) per EPSG code
+_AIRY1830 = (6377563.396, 1.0 / 299.3249646)
+_BESSEL = (6377397.155, 1.0 / 299.1528128)
+
+# -- THE projection-parameter table ------------------------------------------
+#
+# One (EPSG code -> family, ellipsoid, params) registry: identification
+# (crs2code) implying reprojectability is a property of THIS table, not
+# of scattered per-family dicts. Param layout per family:
+#   lcc2sp : (ellipsoid, lat0, lon0, lat1, lat2, FE, FN)
+#   albers : (ellipsoid, lat0, lon0, lat1, lat2, FE, FN)
+#   laea   : (ellipsoid, lat0, lon0, FE, FN)
+#   tm     : (ellipsoid, lat0, lon0, k0, FE, FN)
+#   stereo : (ellipsoid, lat0, lon0, k0, FE, FN)   (oblique, GN7-2 §1.3.7.1)
+# All parameters are the public EPSG registry definitions. Systematic
+# national grid families (UTM-style zone ladders, Gauss-Krüger, the
+# RGF93 conic conformal zones) are generated from their published
+# zone formulas. Polar-aspect LAEA (317x) and spherical LAEA (2163)
+# need different closed forms than the oblique GN7-2 ellipsoidal case
+# and are deliberately absent.
+PROJ_DEFS: dict[int, tuple[str, tuple]] = {
+    # Lambert conformal conic, 2SP
+    2154: ("lcc2sp", (_GRS80, 46.5, 3.0, 44.0, 49.0, 700000.0, 6600000.0)),    # RGF93 / Lambert-93
+    3034: ("lcc2sp", (_GRS80, 52.0, 10.0, 35.0, 65.0, 4000000.0, 2800000.0)),  # ETRS89 / LCC Europe
+    3978: ("lcc2sp", (_GRS80, 49.0, -95.0, 49.0, 77.0, 0.0, 0.0)),             # NAD83 / Canada Atlas Lambert
+    # RGF93 / CC42..CC50 conic-conformal zones (EPSG 3942-3950):
+    # lat0 = 42..50, parallels lat0 +/- 0.75, lon0 3, FE 1.7e6,
+    # FN (lat0-42)*1e6 + 1.2e6
+    **{
+        3900 + l: (
+            "lcc2sp",
+            (_GRS80, float(l), 3.0, l - 0.75, l + 0.75,
+             1700000.0, (l - 42) * 1e6 + 1200000.0),
+        )
+        for l in range(42, 51)
+    },
+    # Albers equal-area
+    5070: ("albers", (_GRS80, 23.0, -96.0, 29.5, 45.5, 0.0, 0.0)),     # NAD83 / Conus Albers
+    3577: ("albers", (_GRS80, 0.0, 132.0, -18.0, -36.0, 0.0, 0.0)),    # GDA94 / Australian Albers
+    3310: ("albers", (_GRS80, 0.0, -120.0, 34.0, 40.5, 0.0, -4000000.0)),  # NAD83 / California Albers
+    # Lambert azimuthal equal-area (oblique ellipsoidal)
+    3035: ("laea", (_GRS80, 52.0, 10.0, 4321000.0, 3210000.0)),        # ETRS89 / LAEA Europe
+    # national transverse-mercator grids
+    27700: ("tm", (_AIRY1830, 49.0, -2.0, 0.9996012717, 400000.0, -100000.0)),  # OSGB 1936 / British National Grid
+    2193: ("tm", (_GRS80, 0.0, 173.0, 0.9996, 1600000.0, 10000000.0)),          # NZGD2000 / NZTM2000
+    3006: ("tm", (_GRS80, 0.0, 15.0, 0.9996, 500000.0, 0.0)),                   # SWEREF99 TM
+    2180: ("tm", (_GRS80, 0.0, 19.0, 0.9993, 500000.0, -5300000.0)),            # ETRS89 / Poland CS92
+    3067: ("tm", (_GRS80, 0.0, 27.0, 0.9996, 500000.0, 0.0)),                   # ETRS89 / TM35FIN
+    # ETRS89 / UTM zones 28N-38N (EPSG 25828-25838)
+    **{
+        25800 + z: ("tm", (_GRS80, 0.0, float(6 * z - 183), 0.9996, 500000.0, 0.0))
+        for z in range(28, 39)
+    },
+    # NAD83 / UTM zones 1N-23N (EPSG 26901-26923)
+    **{
+        26900 + z: ("tm", (_GRS80, 0.0, float(6 * z - 183), 0.9996, 500000.0, 0.0))
+        for z in range(1, 24)
+    },
+    # GDA94 / MGA zones 49-56 (EPSG 28349-28356, southern hemisphere)
+    **{
+        28300 + z: (
+            "tm",
+            (_GRS80, 0.0, float(6 * z - 183), 0.9996, 500000.0, 10000000.0),
+        )
+        for z in range(49, 57)
+    },
+    # DHDN / Gauss-Krüger zones 2-5 (EPSG 31466-31469): Bessel 1841,
+    # lon0 = 3*zone, k0 = 1, FE = zone*1e6 + 500000
+    **{
+        31464 + z: (
+            "tm",
+            (_BESSEL, 0.0, float(3 * z), 1.0, z * 1e6 + 500000.0, 0.0),
+        )
+        for z in range(2, 6)
+    },
+    # ETRS89 / Poland CS2000 zones 5-8 (EPSG 2176-2179): lon0 = 3*zone,
+    # k0 = 0.999923, FE = zone*1e6 + 500000
+    **{
+        2171 + z: (
+            "tm",
+            (_GRS80, 0.0, float(3 * z), 0.999923, z * 1e6 + 500000.0, 0.0),
+        )
+        for z in range(5, 9)
+    },
+    # oblique stereographic
+    28992: ("stereo", (
+        _BESSEL,
+        52.0 + 9.0 / 60 + 22.178 / 3600, 5.0 + 23.0 / 60 + 15.5 / 3600,
+        0.9999079, 155000.0, 463000.0,
+    )),  # Amersfoort / RD New
+}
+
+# per-family views of the registry (the downstream constants functions
+# key on these; membership in PROJ_DEFS IS the supported set)
 _LCC2SP_DEFS: dict[int, tuple] = {
-    2154: (_GRS80, 46.5, 3.0, 44.0, 49.0, 700000.0, 6600000.0),    # RGF93 / Lambert-93
-    3034: (_GRS80, 52.0, 10.0, 35.0, 65.0, 4000000.0, 2800000.0),  # ETRS89 / LCC Europe
-    3978: (_GRS80, 49.0, -95.0, 49.0, 77.0, 0.0, 0.0),             # NAD83 / Canada Atlas Lambert
+    c: p for c, (fam, p) in PROJ_DEFS.items() if fam == "lcc2sp"
 }
 _ALBERS_DEFS: dict[int, tuple] = {
-    5070: (_GRS80, 23.0, -96.0, 29.5, 45.5, 0.0, 0.0),             # NAD83 / Conus Albers
-    3577: (_GRS80, 0.0, 132.0, -18.0, -36.0, 0.0, 0.0),            # GDA94 / Australian Albers
+    c: p for c, (fam, p) in PROJ_DEFS.items() if fam == "albers"
 }
 _LAEA_DEFS: dict[int, tuple] = {
-    3035: (_GRS80, 52.0, 10.0, 4321000.0, 3210000.0),              # ETRS89 / LAEA Europe
+    c: p for c, (fam, p) in PROJ_DEFS.items() if fam == "laea"
 }
-
-
-_AIRY1830 = (6377563.396, 1.0 / 299.3249646)
-
-# national transverse-mercator grids: (ellipsoid, lat0, lon0, k0, FE, FN)
 _TM_NATIONAL_DEFS: dict[int, tuple] = {
-    27700: (_AIRY1830, 49.0, -2.0, 0.9996012717, 400000.0, -100000.0),  # OSGB 1936 / British National Grid
-    2193: (_GRS80, 0.0, 173.0, 0.9996, 1600000.0, 10000000.0),          # NZGD2000 / NZTM2000
-    3006: (_GRS80, 0.0, 15.0, 0.9996, 500000.0, 0.0),                   # SWEREF99 TM
-    2180: (_GRS80, 0.0, 19.0, 0.9993, 500000.0, -5300000.0),            # ETRS89 / Poland CS92
+    c: p for c, (fam, p) in PROJ_DEFS.items() if fam == "tm"
 }
 
 
@@ -675,13 +760,9 @@ def laea_inverse(x: Column, y: Column, code: int) -> tuple[Column, Column]:
 
 # -- oblique stereographic (RD New) -----------------------------------------
 
-_BESSEL = (6377397.155, 1.0 / 299.1528128)
-
-# (ellipsoid, lat0, lon0, k0, FE, FN)
+# (ellipsoid, lat0, lon0, k0, FE, FN) — view of PROJ_DEFS
 _OBL_STEREO_DEFS: dict[int, tuple] = {
-    28992: (_BESSEL, 52.0 + 9.0 / 60 + 22.178 / 3600,
-            5.0 + 23.0 / 60 + 15.5 / 3600, 0.9999079,
-            155000.0, 463000.0),  # Amersfoort / RD New
+    c: p for c, (fam, p) in PROJ_DEFS.items() if fam == "stereo"
 }
 
 
@@ -873,8 +954,8 @@ def reproject_bounds(
         return F.array(lon0, lat0, lon1, lat1)
     raise ValueError(
         f"unsupported CRS pair {source}->{target}; closed-form subset is "
-        "4326<->3857, 4326<->UTM, and 4326<->{LCC 2154/3034/3978, "
-        "Albers 5070/3577, LAEA 3035, RD-New 28992, national TM "
-        "27700/2193/3006/2180} "
-        "(no GDAL in this environment)"
+        "4326<->3857, 4326<->UTM (326xx/327xx), and 4326<->every code in "
+        f"geo.PROJ_DEFS ({len(PROJ_DEFS)} codes: LCC-2SP incl. RGF93 CC "
+        "zones, Albers, LAEA 3035, RD-New 28992, and the national "
+        "TM/Gauss-Krueger/UTM grid ladders) — no GDAL in this environment"
     )

@@ -260,3 +260,82 @@ def test_tm_national_spark_roundtrip(spark):
     for r in rows:
         ex, en = geo.tm_national_forward_py(r["lon"], r["lat"], 27700)
         assert abs(r["_x"] - ex) < 1e-6 and abs(r["_y"] - en) < 1e-6
+
+
+# -- round-5: parameter-driven registry (PROJ_DEFS) --------------------------
+
+def test_proj_defs_is_the_single_registry():
+    # the per-family dicts are views of PROJ_DEFS — membership there IS
+    # the supported set (identification implies reprojectability)
+    fams = {
+        "lcc2sp": geo._LCC2SP_DEFS, "albers": geo._ALBERS_DEFS,
+        "laea": geo._LAEA_DEFS, "tm": geo._TM_NATIONAL_DEFS,
+        "stereo": geo._OBL_STEREO_DEFS,
+    }
+    assert sum(len(d) for d in fams.values()) == len(geo.PROJ_DEFS)
+    for fam, d in fams.items():
+        for code in d:
+            assert geo.PROJ_DEFS[code][0] == fam
+    assert len(geo.PROJ_DEFS) >= 70
+
+
+def test_new_conic_members_origin_and_parallels():
+    # RGF93 CC zones: natural origin (3, L) -> (1.7e6, (L-42)e6+1.2e6)
+    for code in range(3942, 3951):
+        lat0 = float(code - 3900)
+        e, n = geo._forward_py(3.0, lat0, code)
+        assert abs(e - 1700000.0) < 1e-6
+        assert abs(n - ((lat0 - 42) * 1e6 + 1200000.0)) < 1e-6
+        # unit scale on both standard parallels (secant cone property)
+        k = geo.lcc_constants(code)
+        for lat in (lat0 - 0.75, lat0 + 0.75):
+            d = 1e-6
+            x1, y1 = geo._forward_py(3.0, lat, code)
+            x2, y2 = geo._forward_py(3.0 + d, lat, code)
+            phi = math.radians(lat)
+            nu = k["a"] / math.sqrt(1 - k["e2"] * math.sin(phi) ** 2)
+            kf = math.hypot(x2 - x1, y2 - y1) / (
+                nu * math.cos(phi) * math.radians(d))
+            assert abs(kf - 1.0) < 1e-6, (code, lat, kf)
+    # California Albers origin
+    e, n = geo._forward_py(-120.0, 0.0, 3310)
+    assert abs(e) < 1e-6 and abs(n + 4000000.0) < 1e-6
+
+
+def test_new_tm_members_origin_scale_roundtrip():
+    cases = {
+        3067: (27.0, 500000.0, 0.0, 0.9996),       # TM35FIN
+        25832: (9.0, 500000.0, 0.0, 0.9996),       # ETRS89 / UTM 32N
+        26910: (-123.0, 500000.0, 0.0, 0.9996),    # NAD83 / UTM 10N
+        28355: (147.0, 500000.0, 10000000.0, 0.9996),  # MGA94 zone 55
+        31467: (9.0, 3500000.0, 0.0, 1.0),         # DHDN / GK zone 3
+        2177: (18.0, 6500000.0, 0.0, 0.999923),    # Poland CS2000/18
+    }
+    for code, (lon0, fe, fn, k0) in cases.items():
+        x, y = geo.tm_national_forward_py(lon0, 0.0, code)
+        assert abs(x - fe) < 1e-6 and abs(y - fn) < 1e-6, code
+        # scale at the natural origin == k0 (numeric E-W Jacobian)
+        d = 1e-6
+        x2, _ = geo.tm_national_forward_py(lon0 + d, 0.0, code)
+        a = geo.tm_national_params(code)[0]
+        scale = (x2 - x) / (math.radians(d) * a)
+        assert abs(scale - k0) < 1e-7, (code, scale)
+def test_new_tm_roundtrip_spark(spark):
+    # roundtrip through the Column implementation for one new member of
+    # each ladder (staged like the oracle: forward as named columns)
+    import pyspark.sql.functions as F
+    from pygeodatacrawler_spark.functions.geo import (
+        tm_forward, tm_inverse, tm_national_params,
+    )
+
+    pts = {3067: (25.0, 63.0), 28355: (146.0, -37.5), 31467: (10.5, 51.0)}
+    for code, (lon, lat) in pts.items():
+        p = tm_national_params(code)
+        base = spark.range(1).select(
+            F.lit(lon).alias("_lon"), F.lit(lat).alias("_lat")
+        )
+        fx, fy = tm_forward(F.col("_lon"), F.col("_lat"), *p)
+        staged = base.select(fx.alias("_fx"), fy.alias("_fy"))
+        rlon, rlat = tm_inverse(F.col("_fx"), F.col("_fy"), *p)
+        row = staged.select(rlon.alias("lon"), rlat.alias("lat")).collect()[0]
+        assert abs(row["lon"] - lon) < 1e-6 and abs(row["lat"] - lat) < 1e-6, code
