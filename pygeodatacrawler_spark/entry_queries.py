@@ -661,10 +661,13 @@ def _synth_url(spark, sf_dir):
         .otherwise(F.lit(".html"))
     )
     tld = (
-        F.when(F.col("doc_id") % 4 == 0, F.lit(".Example.ORG"))
-        .when(F.col("doc_id") % 4 == 1, F.lit(".Example.co.uk"))
-        .when(F.col("doc_id") % 4 == 2, F.lit(".example.com.au"))
-        .otherwise(F.lit(".Example.de"))
+        F.when(F.col("doc_id") % 6 == 0, F.lit(".Example.ORG"))
+        .when(F.col("doc_id") % 6 == 1, F.lit(".Example.co.uk"))
+        .when(F.col("doc_id") % 6 == 2, F.lit(".example.com.au"))
+        .when(F.col("doc_id") % 6 == 3, F.lit(".Example.de"))
+        # 3-label public suffixes (round 5): register at the 4th label
+        .when(F.col("doc_id") % 6 == 4, F.lit(".South.act.edu.au"))
+        .otherwise(F.lit(".district.k12.ca.us"))
     )
     return d.select(
         "doc_id",
@@ -678,10 +681,12 @@ def _synth_url(spark, sf_dir):
 SQL_SYNTH_URL = """
 select doc_id,
   'https://' || source ||
-  case (doc_id % 4) when 0 then '.Example.ORG'
+  case (doc_id % 6) when 0 then '.Example.ORG'
                     when 1 then '.Example.co.uk'
                     when 2 then '.example.com.au'
-                    else '.Example.de' end ||
+                    when 3 then '.Example.de'
+                    when 4 then '.South.act.edu.au'
+                    else '.district.k12.ca.us' end ||
   '/docs/' || doc_id ||
   case (doc_id % 3) when 0 then '.html?service=WMS&request=GetCapabilities&map=1'
                     when 1 then '.html#sec' else '.html' end as url
@@ -690,8 +695,15 @@ from documents
 
 _STRIP_SQL = "(?i:request|service|version|layers|typenames|exceptions|outputformat)"
 
-# literal IN-list twin of urls._PSL_SET (DuckDB hash-probes it like Catalyst's InSet)
-PSL_IN_LIST = ", ".join(f"'{s}'" for s in sorted(PSL_MULTI_SUFFIXES))
+# literal IN-list twins of urls._PSL_SET / _PSL3_SET (DuckDB
+# hash-probes them like Catalyst's InSet)
+from pygeodatacrawler_spark.functions.urls import (  # noqa: E402
+    PSL_THREE_LABEL_SUFFIXES,
+    _PSL_SET,
+)
+
+PSL_IN_LIST = ", ".join(f"'{s}'" for s in sorted(_PSL_SET))
+PSL3_IN_LIST = ", ".join(f"'{s}'" for s in sorted(PSL_THREE_LABEL_SUFFIXES))
 
 
 def q_canonicalize(spark, sf_dir):
@@ -722,24 +734,22 @@ canon as (select doc_id,
          else head || (case when tail = '' then '/'
                             when starts_with(tail, '?') then '/' || tail
                             else tail end) end as canon
-  from c6)
+  from c6),
+hosted as (select doc_id, canon,
+    lower(regexp_extract(canon, '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]*)', 1)) as h
+  from canon)
 select doc_id, canon,
-  case when regexp_extract(
-         lower(regexp_extract(canon, '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]*)', 1)),
-         '([^.]+\\.[^.]+)$', 1) in ({PSL_IN_LIST})
-        and regexp_extract(
-         lower(regexp_extract(canon, '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]*)', 1)),
-         '([^.]+\\.[^.]+\\.[^.]+)$', 1) <> ''
-       then regexp_extract(
-         lower(regexp_extract(canon, '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]*)', 1)),
-         '([^.]+\\.[^.]+\\.[^.]+)$', 1)
-       else regexp_extract(
-         lower(regexp_extract(canon, '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]*)', 1)),
-         '([^.]+\\.[^.]+)$', 1) end as domain,
+  case when regexp_extract(h, '([^.]+\\.[^.]+\\.[^.]+)$', 1) in ({PSL3_IN_LIST})
+        and regexp_extract(h, '([^.]+\\.[^.]+\\.[^.]+\\.[^.]+)$', 1) <> ''
+       then regexp_extract(h, '([^.]+\\.[^.]+\\.[^.]+\\.[^.]+)$', 1)
+       when regexp_extract(h, '([^.]+\\.[^.]+)$', 1) in ({PSL_IN_LIST})
+        and regexp_extract(h, '([^.]+\\.[^.]+\\.[^.]+)$', 1) <> ''
+       then regexp_extract(h, '([^.]+\\.[^.]+\\.[^.]+)$', 1)
+       else regexp_extract(h, '([^.]+\\.[^.]+)$', 1) end as domain,
   len(list_filter(string_split(regexp_extract(canon, '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^?#]*)', 1), '/'),
                   x -> x <> '')) as depth,
   translate(canon, '# !/\\:;()[]{{}}&~%+,', '-------') as fname
-from canon
+from hosted
 """
 
 

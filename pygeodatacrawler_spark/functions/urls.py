@@ -81,9 +81,10 @@ def canonicalize_url_py(url: str) -> str:
 # Suffix List's most-registered two-label suffixes: ccTLD second-level
 # registries plus the common CentralNic private ones). A host ending in
 # one of these registers at the THIRD label (www.example.co.uk ->
-# example.co.uk); anything else registers at the second label. Rare
-# three-label suffixes (act.edu.au, *.k12.ma.us, ...) are out of this
-# subset's scope and fall back to two labels, documented here.
+# example.co.uk); anything else registers at the second label. The
+# high-traffic THREE-label suffixes (act.edu.au, k12.ca.us, ...) have
+# their own table below; anything rarer (wildcarded *.sch.uk, the JP
+# geographic scheme) falls back, documented here.
 PSL_MULTI_SUFFIXES: tuple[str, ...] = (
     # United Kingdom / Ireland
     "co.uk", "org.uk", "me.uk", "net.uk", "ac.uk", "gov.uk", "ltd.uk",
@@ -213,31 +214,66 @@ PSL_MULTI_SUFFIXES: tuple[str, ...] = (
     "africa.com", "in.net",
 )
 
-_PSL_SET = frozenset(PSL_MULTI_SUFFIXES)
+# Three-label public suffixes (the high-traffic subset the 2-label
+# table above cannot express): Australian state education/government
+# registries (schools register at the fourth label: name.act.edu.au)
+# and the US locality scheme's k12/cc/lib second-level-per-state
+# registries (school.k12.ca.us). Generated from their published
+# systematic schemes, like the PSL lists them.
+_AU_STATES = ("act", "nsw", "nt", "qld", "sa", "tas", "vic", "wa")
+_US_STATES = (
+    "ak", "al", "ar", "az", "ca", "co", "ct", "dc", "de", "fl", "ga",
+    "hi", "ia", "id", "il", "in", "ks", "ky", "la", "ma", "md", "me",
+    "mi", "mn", "mo", "ms", "mt", "nc", "nd", "ne", "nh", "nj", "nm",
+    "nv", "ny", "oh", "ok", "or", "pa", "ri", "sc", "sd", "tn", "tx",
+    "ut", "va", "vt", "wa", "wi", "wv", "wy",
+)
+PSL_THREE_LABEL_SUFFIXES: tuple[str, ...] = tuple(
+    f"{st}.{kind}.au" for st in _AU_STATES for kind in ("edu", "gov")
+) + tuple(
+    f"{kind}.{st}.us" for st in _US_STATES for kind in ("k12", "cc", "lib")
+)
+
+# the US geographic 2-label suffixes (ca.us, ny.us, ...) ride the same
+# systematic scheme — city.berkeley.ca.us registers at the third label
+_PSL_SET = frozenset(
+    PSL_MULTI_SUFFIXES + tuple(f"{st}.us" for st in _US_STATES)
+)
+_PSL3_SET = frozenset(PSL_THREE_LABEL_SUFFIXES)
 _TWO_RE = r"([^.]+\.[^.]+)$"
 _THREE_RE = r"([^.]+\.[^.]+\.[^.]+)$"
+_FOUR_RE = r"([^.]+\.[^.]+\.[^.]+\.[^.]+)$"
 
 
 def registered_domain(url: Column) -> Column:
     """Registered (registrable) domain of the URL's host.
 
-    Public-suffix aware: a host whose last TWO labels form a known
-    multi-label suffix (``PSL_MULTI_SUFFIXES`` — co.uk, com.au,
-    co.jp, ...) keeps THREE labels; every other host keeps two. The
-    suffix test is ``isin`` over the literal set — Catalyst compiles
-    it to an O(1) InSet hash probe, NOT a 380-way regex alternation —
+    Public-suffix aware: a host whose last THREE labels form a known
+    3-label suffix (``PSL_THREE_LABEL_SUFFIXES`` — act.edu.au,
+    k12.ca.us, ...) keeps FOUR labels; else a host whose last TWO
+    labels form a known multi-label suffix (``PSL_MULTI_SUFFIXES`` —
+    co.uk, com.au, co.jp, ...) keeps THREE; every other host keeps
+    two. The suffix tests are ``isin`` over literal sets — Catalyst
+    compiles them to O(1) InSet hash probes, NOT regex alternations —
     so this stays cheap on the crawl expand hot path. Suffixes outside
-    the curated subset fall back to two labels.
+    the curated subsets fall back to fewer labels.
     """
     host = F.lower(F.parse_url(url, F.lit("HOST")))
     two = F.regexp_extract(host, _TWO_RE, 1)
     three = F.regexp_extract(host, _THREE_RE, 1)
-    return F.when(two.isin(*_PSL_SET) & (three != ""), three).otherwise(two)
+    four = F.regexp_extract(host, _FOUR_RE, 1)
+    return (
+        F.when(three.isin(*_PSL3_SET) & (four != ""), four)
+        .when(two.isin(*_PSL_SET) & (three != ""), three)
+        .otherwise(two)
+    )
 
 
 def host_registered_domain_py(host: str) -> str:
     host = (host or "").lower()
-    parts = host.rsplit(".", 3)
+    parts = host.rsplit(".", 4)
+    if len(parts) >= 4 and ".".join(parts[-3:]) in _PSL3_SET:
+        return ".".join(parts[-4:])
     if len(parts) >= 3 and ".".join(parts[-2:]) in _PSL_SET:
         return ".".join(parts[-3:])
     m2 = re.search(_TWO_RE, host)

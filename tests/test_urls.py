@@ -108,3 +108,40 @@ def test_registered_domain_public_suffix(spark):
         ).collect()
     }
     assert got == cases
+
+
+def test_registered_domain_three_label_suffix(spark):
+    # 3-label public suffixes register at the FOURTH label: two schools
+    # under act.edu.au (or districts under k12.ca.us) are different
+    # registrants and must NOT share a politeness/salt key
+    from pygeodatacrawler_spark.functions.urls import (
+        host_registered_domain_py,
+    )
+
+    cases = {
+        "https://www.northside.act.edu.au/": "northside.act.edu.au",
+        "https://library.southview.k12.ca.us/a": "southview.k12.ca.us",
+        "https://www.example.lib.tx.us/": "example.lib.tx.us",
+        "https://portal.health.nsw.gov.au/": "health.nsw.gov.au",
+        # 2-label fallbacks unchanged
+        "https://www.example.edu.au/": "example.edu.au",
+        "https://www.ci.berkeley.ca.us/": "berkeley.ca.us",
+    }
+    for url, want in cases.items():
+        assert registered_domain_py(url) == want, url
+
+    import pyspark.sql.functions as F
+
+    df = spark.createDataFrame([(u,) for u in cases], "url string")
+    got = {
+        r["url"]: r["d"]
+        for r in df.select(
+            "url", registered_domain(F.col("url")).alias("d")
+        ).collect()
+    }
+    assert got == cases
+    # distinct schools -> distinct keys; same school's subdomains merge
+    a = host_registered_domain_py("www.alpha.act.edu.au")
+    b = host_registered_domain_py("www.beta.act.edu.au")
+    assert a != b
+    assert host_registered_domain_py("mail.alpha.act.edu.au") == a
