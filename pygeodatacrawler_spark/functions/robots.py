@@ -25,6 +25,12 @@ from xml.etree import ElementTree as ET
 DEFAULT_UA = "pygeodatacrawler"
 
 
+# RFC 9309 §2.5: crawlers MUST parse at least 500 KiB; we parse
+# exactly that and ignore the rest (a complete rule line never spans
+# the boundary silently — the partial trailing line is dropped)
+ROBOTS_PARSE_LIMIT = 500 * 1024
+
+
 def parse_robots_py(
     text: str | bytes | None, user_agent: str = DEFAULT_UA
 ) -> dict:
@@ -34,13 +40,21 @@ def parse_robots_py(
     is the LONGEST match of ``user_agent`` (case-insensitive substring
     product-token match) wins; ``*`` is the fallback; multiple UA lines
     may share one group. ``Sitemap`` is global (outside groups).
-    Total: None/undecodable input -> empty rules.
+    Total: None/undecodable input -> empty rules. Input beyond the
+    RFC's 500 KiB parse limit is ignored (the cut falls on the last
+    line boundary inside the limit).
     """
     out = {"disallow": [], "allow": [], "crawl_delay": None, "sitemaps": []}
     if text is None:
         return out
     if isinstance(text, bytes):
+        if len(text) > ROBOTS_PARSE_LIMIT:
+            text = text[:ROBOTS_PARSE_LIMIT]
+            text = text[: text.rfind(b"\n") + 1 or 0]
         text = text.decode("utf-8", "replace")
+    elif len(text) > ROBOTS_PARSE_LIMIT:
+        text = text[:ROBOTS_PARSE_LIMIT]
+        text = text[: text.rfind("\n") + 1 or 0]
     ua = user_agent.lower()
 
     groups: list[tuple[list[str], dict]] = []  # (agents, rules)
@@ -246,10 +260,20 @@ def _local(tag: str) -> str:
 def parse_sitemap_py(payload: str | bytes | None) -> dict:
     """sitemap.xml -> {kind: 'urlset'|'sitemapindex'|None, urls:
     [(loc, lastmod|None)], sitemaps: [loc]}. Namespace-tolerant, total
-    on malformed XML."""
+    on malformed XML. Gzip payloads (the sitemaps.org ``.xml.gz``
+    convention — most large sites ship compressed sitemaps) are
+    transparently decompressed, detected by magic bytes, total on
+    truncated streams."""
     out = {"kind": None, "urls": [], "sitemaps": []}
     if not payload:
         return out
+    if isinstance(payload, bytes) and payload[:2] == b"\x1f\x8b":
+        import gzip
+
+        try:
+            payload = gzip.decompress(payload)
+        except (OSError, EOFError):
+            return out
     try:
         root = ET.fromstring(payload)
     except ET.ParseError:

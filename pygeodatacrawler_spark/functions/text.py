@@ -75,7 +75,11 @@ def extract_links_py(html: bytes | None, base_url: str | None) -> list[str]:
         return []
     out: list[str] = []
     seen: set[str] = set()
-    if _SITEMAP_SNIFF_RE.search(html[:1024]):
+    if _SITEMAP_SNIFF_RE.search(html[:1024]) or html[:2] == b"\x1f\x8b":
+        # plain XML root sniff, or a gzip payload (the .xml.gz sitemap
+        # convention — parse_sitemap_py decompresses and stays total;
+        # a gzip blob that is NOT a sitemap yields kind=None and falls
+        # through to href extraction, which finds nothing in it)
         from pygeodatacrawler_spark.functions.robots import parse_sitemap_py
 
         sm = parse_sitemap_py(html)

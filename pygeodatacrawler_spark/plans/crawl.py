@@ -16,7 +16,9 @@ recursive traversal (/root/reference/geodatacrawler/metadata.py:96-461):
                             functions/text.py — byte-identical extractor)
       -> expand            (explode links, canonicalize, depth+1,
                             dedupe, MERGE into frontier as pending)
-      -> commit            (frontier/records/visits/lineage snapshots)
+      -> commit            (ONE unified delta write: frontier flip rows
+                            carry the record payload; visits derive at
+                            read time; one fsync'd lineage line)
 
 Determinism: ordering keys are (depth, discovery_round, canon_url) —
 no wall clock, no uuid, no partition-order dependence; a killed run
@@ -69,6 +71,47 @@ FRONTIER_COLS = [
     "discovery_ts",
     "state",
 ]
+
+# explicit read schema for frontier resolution: delta versions carry
+# the record payload columns too (unified round commit), but frontier
+# state is exactly these — parquet column pruning means the payload
+# bytes are never read by a resolve
+FRONTIER_SCHEMA = (
+    "url_hash long, url string, canon_url string, "
+    "registered_domain string, depth int, discovery_ts long, state string"
+)
+
+# the records log view: payload columns written into the frontier
+# delta by the SAME single write action that commits the round
+RECORD_COLS = [
+    "url_hash", "canon_url", "registered_domain", "depth", "round",
+    "text", "text_sha2", "links", "n_bytes", "fetch_ms",
+]
+RECORD_SCHEMA = (
+    "url_hash long, canon_url string, registered_domain string, "
+    "depth int, round int, text string, text_sha2 string, "
+    "links array<string>, n_bytes long, fetch_ms double, state string"
+)
+
+
+class RecordsView:
+    """The records 'table' as a read-side projection of the frontier
+    table's delta log. A round's records ARE its frontier delta's
+    state='fetched' rows (the unified commit writes extraction payload
+    and frontier flip in ONE action); compaction rewrites only the
+    narrow frontier columns into bases, so payload rows live in their
+    original delta files forever — append-log semantics without a
+    second table or a second write job per round."""
+
+    def __init__(self, frontier: SnapshotTable):
+        self._frontier = frontier
+
+    def read(self) -> DataFrame:
+        return (
+            self._frontier.read_delta_log(RECORD_SCHEMA)
+            .filter(F.col("state") == "fetched")
+            .select(*RECORD_COLS)
+        )
 
 
 def _min_row_per_hash(df: DataFrame) -> DataFrame:
@@ -141,35 +184,34 @@ class CrawlEngine:
         self.host_budget = host_budget
         self.bloom_buckets = bloom_buckets
         self.salt_threshold = salt_threshold
-        # merge-on-read frontier: each round's MERGE appends an O(batch)
-        # delta; state resolves at read time (last version wins per
-        # url_hash) and compacts to a base every compact_every rounds —
-        # the round commit cost no longer scales with frontier size
-        # delta_partitions=32, not the table default 8: coalesce pulls
-        # its width up into the delta write's whole reduce stage
-        # (expand dedup + anti-join run AT that width), and 8 tasks
-        # left 3/4 of a 32-core stage idle — measured as the merge step
-        # anti-scaling from local[8] to local[32]. 32 keeps the stage
-        # wide at any sandbox size; per-round delta reads only touch
-        # one version's files, so the file-count cost stays bounded.
+        # merge-on-read frontier: each round appends ONE delta carrying
+        # BOTH the frontier flip rows (state) and the record payload
+        # (text/links/latency) — the round's single write action.
+        # State resolves at read time (last version wins per url_hash,
+        # over the narrow FRONTIER_SCHEMA projection — payload columns
+        # are pruned at the parquet scan) and compacts to a narrow base
+        # every compact_every rounds; payload rows stay in their delta
+        # files forever (RecordsView reads the delta log), so the
+        # commit cost is O(batch) and payload bytes are written ONCE
+        # and never rewritten. delta_partitions=None: the delta rides
+        # the fetch+extract stage's natural partitioning (a coalesce
+        # here would propagate up and collapse the extract
+        # parallelism), and the per-file footer rows double as the
+        # lineage partition-balance metric with NO extra Spark action.
         self.frontier = SnapshotTable(
             spark, workdir, "frontier",
             merge_log=True, key="url_hash", order_col="canon_url",
-            delta_partitions=32,
+            delta_partitions=None, read_schema=FRONTIER_SCHEMA,
         )
-        # append-log table: O(batch) appends, read() unions the log.
-        # delta_partitions=None keeps the write's natural partitioning:
-        # the per-file footer rows of each round's version double as the
-        # lineage partition-balance metric, with NO extra Spark action
-        self.records = SnapshotTable(
-            spark, workdir, "records", log=True, delta_partitions=None
-        )
+        # the records log is a VIEW of the frontier delta log — same
+        # files, zero extra writes
+        self.records = RecordsView(self.frontier)
         # lineage is the SINGLE COMMIT POINT of a round: the fsync'd
-        # JSONL line carries the frontier/records snapshot versions the
-        # round produced; resume rolls back any snapshot version not
-        # covered by a lineage line, so a crash mid-round (between the
-        # frontier merge, the records append, and the lineage write)
-        # replays the round on exactly the pre-round state
+        # JSONL line carries the frontier snapshot version the round
+        # produced; resume rolls back any snapshot version not covered
+        # by a lineage line, so a crash mid-round (between the unified
+        # delta write and the lineage write) replays the round on
+        # exactly the pre-round state
         self.lineage_path = os.path.join(workdir, "lineage.jsonl")
         self.stats = CrawlStats()
         # driver-side frontier-size counter: sizes the bloom without a
@@ -235,7 +277,6 @@ class CrawlEngine:
     def init_from_seeds(self, seeds: DataFrame) -> None:
         """seeds(url, depth) -> frontier v1 (all pending, round 0)."""
         self.frontier.rollback(0)
-        self.records.rollback(0)
         self._drop_frontier_cache()
         v = self.frontier.write_snapshot(seeds_to_frontier(seeds))
         self._n_frontier = self.frontier.read().count()
@@ -244,17 +285,14 @@ class CrawlEngine:
     def commit_external(self, frontier_v: int | None = None) -> None:
         """Commit a non-round table write (seed init / streaming seed
         merge) to lineage so reconcile won't roll it back."""
-        self._append_lineage(
-            {
-                "round": -1,
-                "frontier_v": (
-                    frontier_v
-                    if frontier_v is not None
-                    else (self.frontier.latest_version() or 0)
-                ),
-                "records_v": self.records.latest_version() or 0,
-            }
+        v = (
+            frontier_v
+            if frontier_v is not None
+            else (self.frontier.latest_version() or 0)
         )
+        # records_v mirrors frontier_v (one unified table since round
+        # 5); kept in the line for lineage-format stability
+        self._append_lineage({"round": -1, "frontier_v": v, "records_v": v})
 
     def resume_round(self) -> int:
         """Next round number implied by committed lineage (for resume).
@@ -276,9 +314,9 @@ class CrawlEngine:
         last = lines[-1]
         if "frontier_v" not in last:  # pre-upgrade lineage format
             return
-        fr = self.frontier.rollback(int(last["frontier_v"]))
-        rr = self.records.rollback(int(last["records_v"]))
-        if fr or rr:
+        # one table since round 5: rolling the frontier back also
+        # discards the uncommitted round's record rows (same files)
+        if self.frontier.rollback(int(last["frontier_v"])):
             self._n_frontier = None  # recount from the reconciled snapshot
             self._drop_frontier_cache()
 
@@ -424,6 +462,14 @@ class CrawlEngine:
         # here and come back as null-text records via the left join below
         # (the 404 analog). Extraction runs directly on the probe output,
         # so html bytes die in the same stage they were read.
+        #
+        # url / discovery_ts / _new ride along: the unified round commit
+        # turns these record rows directly into the frontier delta's
+        # state='fetched' rows (no join back to the batch).
+        id_cols = ["url_hash", "url", "canon_url", "registered_domain",
+                   "depth", "discovery_ts"]
+        if "_new" in batch.columns:
+            id_cols.append("_new")
         if self.fetch_fn is not None:
             # per-URL fetch (production shape), FUSED with extraction in
             # one map-only UDF over the batch: fetch -> extract -> record
@@ -432,6 +478,7 @@ class CrawlEngine:
             # would tempt Catalyst to broadcast the multi-GB extracted
             # side (unknown stats after mapInPandas) through the driver.
             fetch_fn = self.fetch_fn
+            passthrough = list(id_cols)
 
             def _fetch_extract(pdf_iter):
                 import pandas as pd  # noqa: PLC0415 (executor-side)
@@ -449,9 +496,7 @@ class CrawlEngine:
                         list(extract_pages_batches(iter([fetched]))),
                         ignore_index=True,
                     ).set_index("url")
-                    out = pdf[
-                        ["url_hash", "canon_url", "registered_domain", "depth"]
-                    ].reset_index(drop=True)
+                    out = pdf[passthrough].reset_index(drop=True)
                     aligned = ext.reindex(out["canon_url"])
                     # 404 rows: NaN -> None so Arrow writes proper nulls
                     out["text"] = [
@@ -465,14 +510,16 @@ class CrawlEngine:
                     out["n_bytes"] = aligned["n_bytes"].astype("Int64").values
                     yield out
 
-            records = batch.select(
-                "url_hash", "canon_url", "registered_domain", "depth"
-            ).mapInPandas(
+            id_schema = (
+                "url_hash long, url string, canon_url string, "
+                "registered_domain string, depth int, discovery_ts long"
+                + (", _new int" if "_new" in id_cols else "")
+            )
+            records = batch.select(*id_cols).mapInPandas(
                 _fetch_extract,
                 schema=(
-                    "url_hash long, canon_url string, registered_domain "
-                    "string, depth int, text string, links array<string>, "
-                    "n_bytes long"
+                    id_schema
+                    + ", text string, links array<string>, n_bytes long"
                 ),
             )
         else:
@@ -484,9 +531,7 @@ class CrawlEngine:
             extracted = hits.mapInPandas(
                 extract_pages_batches, schema=EXTRACT_SCHEMA
             )
-            records = batch.select(
-                "url_hash", "canon_url", "registered_domain", "depth"
-            ).join(
+            records = batch.select(*id_cols).join(
                 extracted.withColumnRenamed("url", "canon_url"),
                 "canon_url",
                 "left",
@@ -587,13 +632,15 @@ class CrawlEngine:
             batch = self._pick_level_batch(pending)
             batches.append(batch)
             rec = self._level_records(batch, rno)
-            if li < levels - 1:
-                # later levels expand THIS level's links: cache so the
-                # fetch/extract UDF runs once (materialized by the first
-                # shuffle that consumes it inside the append job), never
-                # re-fetching a URL
-                rec = rec.cache()
-                tmp_caches.append(rec)
+            # cache EVERY level's records: inside the unified commit
+            # the fetch+extract UDF subtree is referenced by TWO
+            # branches of the single write job — the fetched delta rows
+            # and this level's expand (whose dedup shuffle-map stage
+            # runs first by dependency order and populates the cache) —
+            # so the UDF runs exactly once and no URL is ever fetched
+            # twice
+            rec = rec.cache()
+            tmp_caches.append(rec)
             records_parts.append(rec)
             new_links = self._level_new_links(
                 rec, rno, frontier, bloom, new_links_parts
@@ -639,12 +686,41 @@ class CrawlEngine:
                 ),
             )
         )
-        # fetch-latency histogram (north-rule lineage metric): an
-        # Observation piggybacks on the records-append job — the counts
-        # materialize during that single write action, NO extra job
-        obs = Observation(f"fetch-r{round_no}")
-        records = records.observe(
+
+        # THE round commit: ONE unified delta = record rows
+        # (state='fetched', carrying the extraction payload) + each
+        # level's surviving new links (state='pending', payload null) —
+        # one write action per committed round runs the whole pipeline
+        # (pick -> fetch+extract -> expand -> seen filter) and writes
+        # frontier flip + records payload into the same files. Delta
+        # rows are one per key (disjoint by construction): keys
+        # discovered AND fetched inside one fused round appear once, as
+        # fetched. The previous shape (separate records append +
+        # frontier merge) paid a second job that re-ran the expand
+        # pipeline from cache — measured at ~1/3 of the small-round
+        # loop wall.
+        nk = F.col("_new") if "_new" in records.columns else F.lit(0)
+        rec_only = ["round", "text", "text_sha2", "links", "n_bytes", "fetch_ms"]
+        delta_in = records.withColumn("state", F.lit("fetched")).withColumn(
+            "_nk", nk
+        ).select(*FRONTIER_COLS, *rec_only, "_nk")
+        for j, nl in enumerate(new_links_parts):
+            rows = nl
+            for later in batches[j + 1 :]:
+                rows = rows.join(later.select("url_hash"), "url_hash", "left_anti")
+            delta_in = delta_in.unionByName(
+                rows.select(*FRONTIER_COLS).withColumn("_nk", F.lit(1)),
+                allowMissingColumns=True,  # payload cols -> null
+            )
+        # round metrics ride an Observation on the single write action
+        # — batch size, fetch-latency histogram (pending rows carry
+        # null fetch_ms and fall out of every count), new-key total,
+        # and the trailing-empty-level check; zero extra jobs
+        obs = Observation(f"commit-r{round_no}")
+        fetched = F.col("state") == "fetched"
+        delta_in = delta_in.observe(
             obs,
+            F.count(F.when(fetched, 1)).alias("n_batch"),
             F.count(F.when(F.col("fetch_ms") < 50, 1)).alias("lat_050"),
             F.count(
                 F.when((F.col("fetch_ms") >= 50) & (F.col("fetch_ms") < 100), 1)
@@ -654,95 +730,33 @@ class CrawlEngine:
             ).alias("lat_500"),
             F.count(F.when(F.col("fetch_ms") >= 500, 1)).alias("lat_inf"),
             F.round(F.avg("fetch_ms"), 2).alias("lat_mean"),
-            # levels that actually fetched (a fused round's trailing
-            # level can be empty at convergence) — same free ride on
-            # the append action
             F.max("round").alias("max_round"),
-        )
-        # one record row per batch row by construction (1:1 left joins);
-        # missing pages carry null text
-        records = records.cache()
-
-        # FIRST action of the round: append the records log. This one
-        # job materializes the batch cache, runs the extract UDF, and
-        # writes the version whose parquet footers then give — with NO
-        # further Spark jobs — the batch size (1:1 with records), the
-        # per-partition row balance (lineage skew metric), and the
-        # empty-round termination check.
-        prev_records_v = self.records.latest_version() or 0
-        records_v = self.records.append(
-            records.select(
-                "url_hash",
-                "canon_url",
-                "registered_domain",
-                "depth",
-                "round",
-                "text",
-                "text_sha2",
-                "links",
-                "n_bytes",
-                "fetch_ms",
-            )
-        )
-        file_rows = [n for n in self.records.version_file_rows(records_v) if n > 0]
-        n_batch = sum(file_rows)
+            F.sum("_nk").alias("n_new"),
+        ).select(*FRONTIER_COLS, *rec_only)
+        prev_frontier_v = self.frontier.latest_version() or 0
+        frontier_v = self.frontier.merge_upsert(delta_in, current=frontier)
+        delta_v = self.frontier.last_delta_version
+        metrics = obs.get  # materialized by the write action
+        n_batch = int(metrics["n_batch"] or 0)
         if n_batch == 0:
-            # nothing pending: drop the empty version, converged
-            self.records.rollback(prev_records_v)
+            # nothing pending: drop the empty version(s), converged
+            self.frontier.rollback(prev_frontier_v)
             for df in batches + tmp_caches:
                 df.unpersist()
-            records.unpersist()
             return {
                 "round": round_no, "rows_in": 0, "rows_out": 0,
                 "levels": levels, "done": True,
             }
         n_records = n_batch
         self._last_batch = n_batch
+        # partition balance of the round's single write, straight from
+        # the delta version's parquet footers (no Spark job). Includes
+        # the pending rows — it measures the write stage's balance.
+        file_rows = [n for n in self.frontier.version_file_rows(delta_v) if n > 0]
+        n_delta_rows = sum(file_rows)
         n_parts = len(file_rows)
-        skew = max(file_rows) / (n_batch / n_parts)
-
-        # commit: frontier MERGE is an O(batch) delta append. Delta
-        # rows, one per key (disjoint by construction):
-        #   - every level's batch, state=fetched (keys discovered by an
-        #     earlier level of this same fused round included — they
-        #     enter the frontier already fetched);
-        #   - each level's new links NOT picked by a later level's
-        #     batch, state=pending.
-        # The expand->seen pipeline runs ONCE, inside this write. The
-        # new-key count rides an Observation on the same write action
-        # (the footer math `delta_rows - n_batch` undercounts by the
-        # new-then-fetched keys when levels > 1), zero extra jobs.
-        def _as_fetched(b: DataFrame) -> DataFrame:
-            # a batch row adds a NEW key iff an earlier level of this
-            # fused round discovered it (never in the committed frontier)
-            nk = F.col("_new") if "_new" in b.columns else F.lit(0)
-            return (
-                b.withColumn("_nk", nk)
-                .withColumn("state", F.lit("fetched"))
-                .select(*FRONTIER_COLS, "_nk")
-            )
-
-        delta_in = _as_fetched(batches[0])
-        for b in batches[1:]:
-            delta_in = delta_in.unionByName(_as_fetched(b))
-        for j, nl in enumerate(new_links_parts):
-            rows = nl
-            for later in batches[j + 1 :]:
-                rows = rows.join(later.select("url_hash"), "url_hash", "left_anti")
-            delta_in = delta_in.unionByName(
-                rows.select(*FRONTIER_COLS).withColumn("_nk", F.lit(1))
-            )
-        obs_new = Observation(f"newkeys-r{round_no}")
-        delta_in = delta_in.observe(
-            obs_new, F.sum("_nk").alias("n_new")
-        ).select(*FRONTIER_COLS)
-        # delta file width sized to the batch (known from footers): a
-        # tiny tail round writing 32 near-empty files pays pure commit
-        # overhead; a big round at width 4 collapses the write stage
-        self.frontier.delta_partitions = max(4, min(32, n_batch // 500))
-        frontier_v = self.frontier.merge_upsert(delta_in, current=frontier)
-        delta_v = self.frontier.last_delta_version
-        n_new = int(obs_new.get["n_new"] or 0)
+        skew = max(file_rows) / (n_delta_rows / n_parts)
+        n_new = int(metrics["n_new"] or 0)
         self._n_frontier += n_new
         # fold this round's delta into the seen-bloom NEXT round
         # (O(batch) incremental update instead of a full rebuild)
@@ -784,14 +798,11 @@ class CrawlEngine:
                 delta.select(*FRONTIER_COLS)
             ).cache()
 
-        # lineage: partition balance came from the records version's
-        # parquet footers (north-rule metrics, no extra action)
-        lat_metrics = obs.get  # already materialized by the append job
         # levels that actually produced records (trailing empty level
         # at convergence is not counted as a crawled BFS level)
         levels_done = (
-            int(lat_metrics["max_round"]) - round_no + 1
-            if lat_metrics["max_round"] is not None
+            int(metrics["max_round"]) - round_no + 1
+            if metrics["max_round"] is not None
             else levels
         )
         wall = time.monotonic() - t0
@@ -805,28 +816,28 @@ class CrawlEngine:
             "skew": float(skew),
             "wall_s": wall,
             # histogram buckets [<50, 50-100, 100-500, >=500) ms + mean,
-            # collected by the Observation during the append action
+            # collected by the Observation during the single write action
             "lat_hist": [
-                int(lat_metrics["lat_050"]),
-                int(lat_metrics["lat_100"]),
-                int(lat_metrics["lat_500"]),
-                int(lat_metrics["lat_inf"]),
+                int(metrics["lat_050"]),
+                int(metrics["lat_100"]),
+                int(metrics["lat_500"]),
+                int(metrics["lat_inf"]),
             ],
             "lat_mean": (
-                float(lat_metrics["lat_mean"])
-                if lat_metrics["lat_mean"] is not None
+                float(metrics["lat_mean"])
+                if metrics["lat_mean"] is not None
                 else None
             ),
-            # snapshot versions this round produced — the atomic commit
+            # snapshot version this round produced — the atomic commit
             # point: until this line is fsync'd, reconcile() rolls the
-            # two writes above back and the round replays cleanly
+            # unified write above back and the round replays cleanly
+            # (records_v mirrors frontier_v: one table since round 5)
             "frontier_v": frontier_v,
-            "records_v": records_v,
+            "records_v": frontier_v,
         }
         self._append_lineage(line)
         for df in batches + tmp_caches:
             df.unpersist()
-        records.unpersist()
         self.stats.rounds += levels_done
         self.stats.urls_fetched += n_batch
         self.stats.urls_discovered += n_new

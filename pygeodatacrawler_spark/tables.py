@@ -53,6 +53,7 @@ class SnapshotTable:
         order_col: str | None = None,
         compact_every: int = 10,
         delta_partitions: int | None = 8,
+        read_schema: str | None = None,
     ):
         if merge_log and key is None:
             raise ValueError("merge_log tables need a key column")
@@ -63,6 +64,14 @@ class SnapshotTable:
         self.order_col = order_col
         self.compact_every = compact_every
         self.delta_partitions = delta_partitions
+        # explicit read-side schema for merge-log resolution: versions
+        # may be SCHEMA-HETEROGENEOUS (a delta can carry payload columns
+        # beyond the table's logical state — the crawl engine's unified
+        # round commit writes record payloads into the frontier delta);
+        # pinning the schema makes every resolve a projection of these
+        # columns (parquet prunes the rest: payload bytes are never read
+        # by frontier resolution) and makes bases/deltas union-safe.
+        self.read_schema = read_schema
         self.last_delta_version: int | None = None
         self.dir = os.path.join(root, name)
         self.meta_path = os.path.join(self.dir, "_meta.json")
@@ -146,9 +155,12 @@ class SnapshotTable:
         bases = [b for b in m["bases"] if b <= v]
         base = bases[-1] if bases else None
         vs = [x for x in m["versions"] if x <= v and (base is None or x >= base)]
+        reader = self.spark.read
+        if self.read_schema is not None:
+            reader = reader.schema(self.read_schema)
         if len(vs) == 1:
-            return self.spark.read.parquet(self._vdir(vs[0]))
-        allrows = self.spark.read.parquet(*[self._vdir(x) for x in vs]).withColumn(
+            return reader.parquet(self._vdir(vs[0]))
+        allrows = reader.parquet(*[self._vdir(x) for x in vs]).withColumn(
             "_v",
             F.regexp_extract(F.input_file_name(), r"/v(\d+)/", 1).cast("int"),
         )
@@ -194,8 +206,15 @@ class SnapshotTable:
         if self.merge_log and self.exists():
             # deltas are small (O(batch)); without coalesce each delta
             # inherits the upstream shuffle partitioning (~3x cores
-            # files), and a 10-delta read drags ~1000 tiny files
-            v = self.write_snapshot(batch.coalesce(self.delta_partitions), base=False)
+            # files), and a 10-delta read drags ~1000 tiny files.
+            # delta_partitions=None keeps the natural partitioning —
+            # REQUIRED when the delta rides the output of a map-heavy
+            # stage (coalesce would propagate up and collapse that
+            # stage's parallelism) and the per-file rows double as the
+            # caller's partition-balance metric
+            if self.delta_partitions:
+                batch = batch.coalesce(self.delta_partitions)
+            v = self.write_snapshot(batch, base=False)
             # callers derive per-round counts from this delta's footers
             self.last_delta_version = v
             m = self._meta()
@@ -260,6 +279,20 @@ class SnapshotTable:
         """Scan exactly one version's files (no log union, no
         last-wins resolve) — e.g. one round's delta rows."""
         return self.spark.read.parquet(self._vdir(version))
+
+    def read_delta_log(self, schema: str) -> DataFrame:
+        """Union of every committed NON-BASE version, one multi-path
+        scan with an explicit schema (versions may be heterogeneous —
+        columns absent from a file read as null). This is the append-
+        log VIEW of a merge_log table: compaction bases are last-wins
+        RESOLUTIONS of the log and are excluded, so rows appended by a
+        delta are visible here forever and are never rewritten."""
+        m = self._meta()
+        bases = set(m["bases"])
+        dirs = [self._vdir(v) for v in m["versions"] if v not in bases]
+        if not dirs:
+            return self.spark.createDataFrame([], schema)
+        return self.spark.read.schema(schema).parquet(*dirs)
 
     def drop(self) -> None:
         shutil.rmtree(self.dir, ignore_errors=True)

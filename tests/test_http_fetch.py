@@ -44,10 +44,12 @@ def _page_html(i: int) -> bytes:
 def corpus_server():
     pages = {f"/p{i}.html": _page_html(i) for i in range(N_PAGES)}
     seen_uas: list[str] = []
+    hit_counts: dict[str, int] = {}
 
     class Handler(BaseHTTPRequestHandler):
         def do_GET(self):
             seen_uas.append(self.headers.get("User-Agent", ""))
+            hit_counts[self.path] = hit_counts.get(self.path, 0) + 1
             body = pages.get(self.path)
             if body is None:
                 self.send_error(404)
@@ -64,13 +66,13 @@ def corpus_server():
     thread = threading.Thread(target=srv.serve_forever, daemon=True)
     thread.start()
     try:
-        yield srv.server_address[1], pages, seen_uas
+        yield srv.server_address[1], pages, seen_uas, hit_counts
     finally:
         srv.shutdown()
 
 
 def test_http_fetch_byte_identity_and_404(corpus_server):
-    port, pages, seen_uas = corpus_server
+    port, pages, seen_uas, _ = corpus_server
     fetch = make_http_fetch_fn(version="9.9", contact="ops@example.org")
     urls = [f"http://127.0.0.1:{port}/p{i}.html" for i in (0, 3, 7)]
     urls.append(f"http://127.0.0.1:{port}/missing.html")  # 404 -> dropped
@@ -112,7 +114,7 @@ def test_http_fetch_ssl_retry(monkeypatch):
 
 
 def test_http_fetch_politeness_delay(corpus_server):
-    port, _, _ = corpus_server
+    port, _, _, _ = corpus_server
     fetch = make_http_fetch_fn(crawl_delays={"127.0.0.1": 0.15})
     urls = [f"http://127.0.0.1:{port}/p{i}.html" for i in range(4)]
     t0 = time.monotonic()
@@ -125,7 +127,8 @@ def test_http_fetch_politeness_delay(corpus_server):
 def test_http_crawl_matches_store_crawl(spark, corpus_server):
     from pygeodatacrawler_spark.plans.crawl import CrawlEngine
 
-    port, pages, _ = corpus_server
+    port, pages, _, hit_counts = corpus_server
+    hits_before = dict(hit_counts)
     base = f"http://127.0.0.1:{port}"
     seeds = spark.createDataFrame([(f"{base}/p0.html", 0)], "url string, depth int")
     store = spark.createDataFrame(
@@ -143,6 +146,16 @@ def test_http_crawl_matches_store_crawl(spark, corpus_server):
     eng_http.init_from_seeds(seeds)
     stats = eng_http.run(max_rounds=20)
     assert stats.urls_fetched == N_PAGES  # reached every page over HTTP
+    # EXACTLY-ONCE fetch: the unified round commit references the
+    # fetch+extract subtree from two branches of one write job; the
+    # per-level records cache must make the HTTP GET happen once per
+    # URL (a regression here = double-fetching the whole web)
+    crawl_hits = {
+        p: hit_counts.get(p, 0) - hits_before.get(p, 0) for p in pages
+    }
+    assert all(n == 1 for n in crawl_hits.values()), {
+        p: n for p, n in crawl_hits.items() if n != 1
+    }
 
     eng_store = CrawlEngine(
         spark, tempfile.mkdtemp(), pages=store, host_budget=16

@@ -59,6 +59,41 @@ def test_parse_totality_and_edge_lines():
     assert r["disallow"] == []
 
 
+def test_parse_limit_500kib():
+    # RFC 9309 §2.5: rules beyond the 500 KiB parse limit are ignored,
+    # rules inside it survive; the cut lands on a line boundary
+    from pygeodatacrawler_spark.functions.robots import ROBOTS_PARSE_LIMIT
+
+    head = "User-agent: *\nDisallow: /early\n"
+    filler = "# pad\n" * ((ROBOTS_PARSE_LIMIT - len(head)) // 6 + 1)
+    tail = "Disallow: /late\n"
+    r = parse_robots_py(head + filler + tail)
+    assert r["disallow"] == ["/early"]
+    # same for bytes input
+    rb = parse_robots_py((head + filler + tail).encode())
+    assert rb["disallow"] == ["/early"]
+
+
+def test_parse_sitemap_gzip():
+    import gzip
+
+    gz = gzip.compress(SITEMAP)
+    u = parse_sitemap_py(gz)
+    assert u["kind"] == "urlset"
+    assert [l for l, _ in u["urls"]] == [
+        "https://example.org/a.html", "https://example.org/b.html",
+    ]
+    # truncated gzip stream is total
+    assert parse_sitemap_py(gz[: len(gz) // 2])["kind"] is None
+    # crawl-loop extractor dispatches the gzipped sitemap too
+    from pygeodatacrawler_spark.functions.text import extract_links_py
+
+    links = extract_links_py(gz, "https://example.org/sitemap.xml.gz")
+    assert links == ["https://example.org/a.html", "https://example.org/b.html"]
+    # a non-sitemap gzip blob yields no links (and doesn't crash)
+    assert extract_links_py(gzip.compress(b"not xml"), "https://x.org/") == []
+
+
 def test_rules_row_regex_semantics():
     row = robots_rules_row("example.org", ROBOTS)
     import re
