@@ -114,10 +114,16 @@ def main(argv: list[str] | None = None) -> int:
                 robots = spark.read.parquet(args.robots) if args.robots else None
                 delays = None
                 if robots is not None:
+                    # host-scoped tables key delays on hostname; the
+                    # fetch fn looks delays up host-first either way
+                    keycol = (
+                        "host" if "host" in robots.columns
+                        else "registered_domain"
+                    )
                     delays = {
-                        r["registered_domain"]: float(r["crawl_delay"])
+                        r[keycol]: float(r["crawl_delay"])
                         for r in robots.select(
-                            "registered_domain", "crawl_delay"
+                            keycol, "crawl_delay"
                         ).collect()
                         if r["crawl_delay"]
                     }

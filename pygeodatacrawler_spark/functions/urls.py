@@ -287,6 +287,18 @@ def registered_domain_py(url: str) -> str:
     return host_registered_domain_py(host)
 
 
+def url_host(url: Column) -> Column:
+    """Lowercased hostname of the URL (no port, no userinfo) — the
+    per-authority key RFC 9309 §2.3 scopes robots.txt by."""
+    return F.lower(F.parse_url(url, F.lit("HOST")))
+
+
+def url_host_py(url: str) -> str:
+    m = re.match(r"^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]*)", url)
+    host = (m.group(1) if m else "").lower()
+    return host.split("@")[-1].split(":")[0]
+
+
 def url_depth(url: Column) -> Column:
     """Number of non-empty path segments (crawl depth analog)."""
     path = F.coalesce(F.parse_url(url, F.lit("PATH")), F.lit(""))

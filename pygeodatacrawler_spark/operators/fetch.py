@@ -113,9 +113,12 @@ def fetch_robots_table(
     contact: str | None = None,
     timeout: float = 5.0,
     max_pages: int | None = None,
+    scope: str = "domain",
 ):
     """Seed/frontier URLs -> the engine's broadcast robots table, by
-    fetching ``scheme://host/robots.txt`` ONCE per registered domain.
+    fetching ``scheme://host/robots.txt`` ONCE per registered domain
+    (``scope="domain"``, default) or ONCE per hostname
+    (``scope="host"`` — the RFC 9309 §2.3 per-authority scope).
 
     The domain dimension is broadcast-sized by definition (one row per
     domain), but the fetch still runs executor-side as one Arrow pass
@@ -126,16 +129,25 @@ def fetch_robots_table(
     complete disallow" (the domain row blocks every path until a later
     refresh succeeds).
 
-    APPROXIMATION (documented): RFC 9309 scopes robots.txt per
-    authority (scheme://host), but the engine's politeness table — like
-    its crawl-delay budget and host salting — is keyed on
-    registered_domain, so ONE host's rules govern the whole domain. The
-    host is chosen deterministically: https over http, the apex host
-    (host == registered_domain) over subdomains, then shortest host,
-    then lexicographic — so ``https://example.org/robots.txt`` is
-    preferred over ``http://api.example.org/robots.txt`` regardless of
-    frontier order. Per-host tables can be had by passing a frontier
-    whose registered_domain column carries the full host.
+    APPROXIMATION (``scope="domain"``, documented): RFC 9309 scopes
+    robots.txt per authority (scheme://host), but the engine's
+    politeness table — like its crawl-delay budget and host salting —
+    is keyed on registered_domain, so ONE host's rules govern the
+    whole domain. The host is chosen deterministically: https over
+    http, the apex host (host == registered_domain) over subdomains,
+    then shortest host, then lexicographic — so
+    ``https://example.org/robots.txt`` is preferred over
+    ``http://api.example.org/robots.txt`` regardless of frontier
+    order.
+
+    ``scope="host"`` removes the approximation: one robots.txt fetch
+    per hostname (https preferred when both schemes appear), the key
+    column is ``host``, and ``apply_robots`` joins frontier URLs on
+    their hostname so every subdomain is governed by its own rules.
+    The table is one row per host — still dimension-class (hosts per
+    domain is a small constant even at 10^10 URLs), still broadcast.
+    In-task crawl-delay pacing picks the host key up unchanged
+    (``make_http_fetch_fn`` looks delays up host-first).
 
     Output columns drop straight into ``CrawlEngine(robots=...)``
     (+ ``allow_pattern``/rule structs for RFC precedence and a
@@ -152,11 +164,14 @@ def fetch_robots_table(
     )
     from pygeodatacrawler_spark.functions.urls import registered_domain
 
+    if scope not in ("domain", "host"):
+        raise ValueError(f"scope must be 'domain' or 'host', got {scope!r}")
     ua = user_agent or default_user_agent(version, contact) or DEFAULT_UA
     head = F.regexp_extract(
         F.col(url_col), r"^([a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]+)", 1
     )
     host = F.lower(F.regexp_extract(head, r"://(?:[^/@]*@)?([^/:]+)", 1))
+    key = "registered_domain" if scope == "domain" else "host"
     dim = (
         urls_df.select(
             registered_domain(F.col(url_col)).alias("registered_domain"),
@@ -164,7 +179,7 @@ def fetch_robots_table(
             host.alias("host"),
         )
         .filter(F.col("robots_url") != "/robots.txt")
-        .groupBy("registered_domain")
+        .groupBy(key)
         .agg(
             F.min(
                 F.struct(
@@ -173,13 +188,18 @@ def fetch_robots_table(
                     ).otherwise(1).alias("p_scheme"),
                     F.when(
                         F.col("host") == F.col("registered_domain"), 0
-                    ).otherwise(1).alias("p_apex"),
+                    ).otherwise(1).alias("p_apex")
+                    if scope == "domain"
+                    else F.lit(0).alias("p_apex"),
                     F.length("host").alias("p_len"),
                     F.col("robots_url").alias("robots_url"),
                 )
             ).alias("s")
         )
-        .select("registered_domain", F.col("s.robots_url").alias("robots_url"))
+        .select(
+            F.col(key).alias("registered_domain"),
+            F.col("s.robots_url").alias("robots_url"),
+        )
     )
 
     def _fetch_parse(pdf_iter):
@@ -209,4 +229,10 @@ def fetch_robots_table(
                     )
                 yield pd.DataFrame(rows, columns=ROBOTS_TABLE_COLS)
 
-    return dim.mapInPandas(_fetch_parse, schema=ROBOTS_TABLE_SCHEMA)
+    out = dim.mapInPandas(_fetch_parse, schema=ROBOTS_TABLE_SCHEMA)
+    if scope == "host":
+        # key column is the hostname: apply_robots joins on it per
+        # RFC 9309 §2.3 authority scope (and must not collide with the
+        # frontier's own registered_domain column)
+        out = out.withColumnRenamed("registered_domain", "host")
+    return out

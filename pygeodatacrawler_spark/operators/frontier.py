@@ -42,8 +42,29 @@ def apply_robots(frontier: DataFrame, robots: DataFrame) -> DataFrame:
     per-domain rule arrays live in the broadcast row, so the compare
     never shuffles. Tables without the allow columns (the reference's
     folder-config path, fixtures) keep the Disallow-only semantics.
+
+    Scope: a robots table carrying a ``host`` column (built by
+    ``fetch_robots_table(scope="host")``) is joined on the URL's
+    hostname — the RFC 9309 §2.3 per-authority scope, so
+    ``api.example.org`` and ``www.example.org`` each get their own
+    rules. Otherwise the join key is ``registered_domain`` (the
+    engine's politeness key — one rule set per domain, the documented
+    approximation). Either table is dimension-sized -> broadcast.
     """
-    f = frontier.join(F.broadcast(robots), "registered_domain", "left")
+    if "host" in robots.columns:
+        from pygeodatacrawler_spark.functions.urls import url_host
+
+        f = (
+            frontier.withColumn("__rhost", url_host(F.col("canon_url")))
+            .join(
+                F.broadcast(robots.withColumnRenamed("host", "__rhost")),
+                "__rhost",
+                "left",
+            )
+            .drop("__rhost")
+        )
+    else:
+        f = frontier.join(F.broadcast(robots), "registered_domain", "left")
     # rules test the CANONICAL url on both engine and oracle sides — the
     # raw link text can differ per discoverer for one canonical URL
     url = F.col("canon_url")

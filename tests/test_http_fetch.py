@@ -303,3 +303,91 @@ def test_fetch_robots_5xx_means_complete_disallow(spark):
     finally:
         ok_srv.shutdown()
         err_srv.shutdown()
+
+
+def test_fetch_robots_table_host_scope(spark):
+    """RFC 9309 §2.3 per-authority scope: scope="host" fetches one
+    robots.txt per hostname (not per registered domain) and
+    apply_robots keys enforcement on the URL's host, so sibling
+    subdomains get their own rules.
+
+    localhost and 127.0.0.1 resolve to the same server but are two
+    hostnames; the handler serves different rules per Host header."""
+    from pygeodatacrawler_spark.operators.fetch import fetch_robots_table
+    from pygeodatacrawler_spark.operators.frontier import apply_robots
+
+    class Handler(BaseHTTPRequestHandler):
+        def do_GET(self):
+            if self.path != "/robots.txt":
+                self.send_error(404)
+                return
+            host = self.headers.get("Host", "")
+            if host.startswith("localhost"):
+                body = b"User-agent: *\nDisallow: /private/\n"
+            else:
+                body = b"User-agent: *\nDisallow: /\nAllow: /pub/\n"
+            self.send_response(200)
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def log_message(self, *args):
+            pass
+
+    srv = ThreadingHTTPServer(("127.0.0.1", 0), Handler)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    try:
+        port = srv.server_address[1]
+        lh, ip = f"http://localhost:{port}", f"http://127.0.0.1:{port}"
+        seeds = spark.createDataFrame(
+            [(f"{lh}/a.html",), (f"{ip}/b.html",)], "url string"
+        )
+        rules = fetch_robots_table(seeds, timeout=2.0, scope="host")
+        rows = {r["host"]: r for r in rules.collect()}
+        assert set(rows) == {"localhost", "127.0.0.1"}
+        assert "/private/" in rows["localhost"]["skip_pattern"]
+        assert "/pub/" in rows["127.0.0.1"]["allow_pattern"]
+
+        frontier = spark.createDataFrame(
+            [
+                ("localhost", f"{lh}/private/x.html"),
+                ("localhost", f"{lh}/open.html"),
+                ("0.1", f"{ip}/pub/ok.html"),
+                ("0.1", f"{ip}/blocked.html"),
+            ],
+            "registered_domain string, canon_url string",
+        )
+        kept = {
+            r["canon_url"] for r in apply_robots(frontier, rules).collect()
+        }
+        # each authority is governed ONLY by its own rules
+        assert kept == {f"{lh}/open.html", f"{ip}/pub/ok.html"}
+    finally:
+        srv.shutdown()
+
+
+def test_apply_robots_host_scope_unknown_host_unrestricted(spark):
+    """A host with no robots row passes unfiltered (NULL rules never
+    filter), and host-keyed tables must not clobber the frontier's
+    registered_domain column."""
+    from pygeodatacrawler_spark.functions.robots import robots_table
+    from pygeodatacrawler_spark.operators.frontier import apply_robots
+
+    robots = robots_table(
+        spark.createDataFrame(
+            [("api.example.org", "User-agent: *\nDisallow: /\n")],
+            "host string, robots_txt string",
+        ),
+        domain_col="host",
+    ).withColumnRenamed("registered_domain", "host")
+    frontier = spark.createDataFrame(
+        [
+            ("example.org", "https://api.example.org/x"),
+            ("example.org", "https://www.example.org/x"),
+        ],
+        "registered_domain string, canon_url string",
+    )
+    out = apply_robots(frontier, robots)
+    rows = out.collect()
+    assert [r["canon_url"] for r in rows] == ["https://www.example.org/x"]
+    assert rows[0]["registered_domain"] == "example.org"
