@@ -42,6 +42,7 @@ from pygeodatacrawler_spark.functions.urls import (
     url_depth,
 )
 from pygeodatacrawler_spark.operators.dedup import (
+    connected_components,
     dedup_exact,
     minhash_lsh_pairs,
     minhash_signature,
@@ -434,21 +435,62 @@ def _sql_minhash_sig() -> str:
 
 
 def q_minhash_lsh_pairs(spark, sf_dir):
+    """Tagged union: LSH candidate PAIRS + transitive CLUSTER labels.
+
+    tag='pair' rows are the banded-LSH candidate pairs (id_a < id_b);
+    tag='cluster' rows label EVERY doc with its near-dup component's
+    min doc id (large-star/small-star connected components over the
+    pairs — the canonical-document-selection step a transitive dedup
+    needs; pairs alone keep B twice when A~B~C). Singletons label
+    themselves. One query so both stay inside the driver's 50-query
+    correctness window."""
     d = _table(spark, sf_dir, "documents")
-    return minhash_lsh_pairs(d, "doc_id", "text", k=_MH_K, bands=_MH_K, shingle_n=3)
+    pairs = minhash_lsh_pairs(d, "doc_id", "text", k=_MH_K, bands=_MH_K, shingle_n=3)
+    labels = connected_components(pairs, "id_a", "id_b")
+    clusters = (
+        d.select("doc_id")
+        .join(F.broadcast(labels), F.col("doc_id") == F.col("node"), "left")
+        .select(
+            F.col("doc_id").alias("a"),
+            F.coalesce(F.col("component"), F.col("doc_id")).alias("b"),
+        )
+    )
+    return (
+        pairs.select(
+            F.lit("pair").alias("tag"),
+            F.col("id_a").alias("a"),
+            F.col("id_b").alias("b"),
+        )
+        .unionByName(clusters.select(F.lit("cluster").alias("tag"), "a", "b"))
+    )
 
 
 def _sql_lsh_pairs() -> str:
-    # bands of 1 row: collide iff any single minhash matches
+    # bands of 1 row: collide iff any single minhash matches; cluster
+    # rows are the min-reachable-node label via a recursive closure
+    # over the symmetrized pair edges (the oracle twin of
+    # connected_components' large-star/small-star fixpoint)
     band_rows = " union all ".join(
         f"select doc_id, {b} as band, md5(concat_ws(',', mh{b})) as bh from sig"
         for b in range(_MH_K)
     )
     return (
-        f"with sig as ({_sql_minhash_sig()}), banded as ({band_rows}) "
-        "select distinct a.doc_id as id_a, b.doc_id as id_b "
+        f"with recursive sig as ({_sql_minhash_sig()}), "
+        f"banded as ({band_rows}), "
+        "pairs as (select distinct a.doc_id as id_a, b.doc_id as id_b "
         "from banded a join banded b on a.band = b.band and a.bh = b.bh "
-        "and a.doc_id < b.doc_id"
+        "and a.doc_id < b.doc_id), "
+        "edges(u, v) as (select id_a, id_b from pairs "
+        "union select id_b, id_a from pairs), "
+        "reach(node, r) as (select u, v from edges "
+        "union select re.node, e.v from reach re join edges e on re.r = e.u), "
+        "comp as (select node, least(node, min(r)) as c "
+        "from reach group by node) "
+        "select 'pair' as tag, id_a as a, id_b as b from pairs "
+        "union all "
+        "select 'cluster' as tag, d.doc_id as a, "
+        "coalesce(comp.c, d.doc_id) as b "
+        "from documents d left join comp on d.doc_id = comp.node"
     )
 
 

@@ -382,3 +382,130 @@ def ngram_jaccard_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "u",
+    dst: str = "v",
+    max_iter: int = 50,
+) -> DataFrame:
+    """(node, component) labels for the undirected graph of ``edges``,
+    component = MIN node id in the component.
+
+    This is the canonical-document-selection step after LSH: candidate
+    near-dup PAIRS become CLUSTERS, and the min-id member is the keeper
+    (the reference dedups by "sidecar exists", metadata.py:430 — a
+    per-file decision; at corpus scale the decision must be transitive
+    or A~B~C keeps B twice).
+
+    Algorithm: alternating large-star / small-star (Kiveris et al.,
+    "Connected Components in MapReduce and Beyond", SoCC 2014) — each
+    pass is one groupBy + one self-join on the node id, converges in
+    O(log n) rounds on any graph (near-dup clusters, being near-
+    cliques, converge in 2-3). No driver-side state: the edge list
+    never leaves the cluster, and each round ``localCheckpoint``s to
+    cut lineage (iterative plans otherwise grow exponentially).
+    Convergence test: count + order-insensitive xxhash64 fingerprint of
+    the edge set (one lightweight action per round on data already
+    checkpointed).
+
+    Only nodes that appear in ``edges`` are labeled; singletons are the
+    caller's coalesce (see ``dedup_clusters``).
+    """
+    e = (
+        edges.select(F.col(src).cast("long").alias("u"),
+                     F.col(dst).cast("long").alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+    def _fingerprint(df: DataFrame):
+        # bit_xor: order-insensitive and overflow-free under ANSI mode
+        # (the edge set is distinct, so xor-cancellation needs a hash
+        # collision AND the same count — the paired count guards it)
+        row = df.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.bit_xor(F.xxhash64("u", "v")).alias("h"),
+        ).collect()[0]
+        return row["n"], row["h"]
+
+    def _large_star(df: DataFrame) -> DataFrame:
+        sym = df.union(df.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        mins = sym.groupBy("u").agg(F.min("v").alias("mn")).select(
+            "u", F.least(F.col("mn"), F.col("u")).alias("m")
+        )
+        return (
+            sym.join(mins, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .distinct()
+        )
+
+    def _small_star(df: DataFrame) -> DataFrame:
+        # orient each edge at its larger endpoint; connect that node's
+        # smaller neighbours (and itself) to their minimum
+        hi = df.select(
+            F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+        )
+        mins = hi.groupBy("u").agg(F.min("v").alias("m"))
+        return (
+            hi.join(mins, "u")
+            .filter(F.col("v") != F.col("m"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .union(mins.select(F.col("u"), F.col("m").alias("v")))
+            .distinct()
+        )
+
+    e = e.localCheckpoint()
+    fp = _fingerprint(e)
+    for _ in range(max_iter):
+        e = _small_star(_large_star(e)).localCheckpoint()
+        nfp = _fingerprint(e)
+        if nfp == fp:
+            break
+        fp = nfp
+    else:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds"
+        )
+    # fixpoint is a star forest oriented hi->lo: u's label is v, and
+    # centers (only ever on the v side) label themselves
+    return (
+        e.select(F.col("u").alias("node"), F.col("v").alias("component"))
+        .union(e.select(F.col("v").alias("node"), F.col("v").alias("component")))
+        .groupBy("node")
+        .agg(F.min("component").alias("component"))
+    )
+
+
+def dedup_clusters(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """(id, cluster_id, is_canonical) — transitive near-dup clusters.
+
+    MinHash-LSH candidate pairs -> connected components -> every doc
+    labeled with its cluster's min doc id; docs with no near-dup are
+    their own cluster. ``is_canonical`` marks the one row per cluster a
+    dedup pass keeps. One broadcast-able label table joined back to the
+    corpus (labels exist only for docs that collided — a small fraction
+    of the corpus under any realistic dup rate).
+    """
+    pairs = minhash_lsh_pairs(df, id_col, text_col, k, bands, shingle_n)
+    labels = connected_components(pairs, "id_a", "id_b")
+    out = (
+        df.select(F.col(id_col))
+        .join(F.broadcast(labels), F.col(id_col) == F.col("node"), "left")
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col("component"), F.col(id_col)).alias("cluster_id"),
+        )
+    )
+    return out.withColumn(
+        "is_canonical", F.col(id_col) == F.col("cluster_id")
+    )

@@ -356,3 +356,76 @@ def test_gram_udf_matches_column_chain(spark):
                 assert (i, j) not in got or got[(i, j)] is None
             else:
                 assert got.get((i, j)) == expect, (i, j, got.get((i, j)), expect)
+
+
+def _uf_components(edges):
+    """Reference union-find: node -> min member of its component."""
+    nodes = sorted({x for e in edges for x in e})
+    parent = {n: n for n in nodes}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for u, v in edges:
+        ru, rv = find(u), find(v)
+        if ru != rv:
+            parent[max(ru, rv)] = min(ru, rv)
+    comps = {}
+    for n in nodes:
+        comps.setdefault(find(n), []).append(n)
+    return {n: min(ms) for ms in comps.values() for n in ms}
+
+
+def test_connected_components_vs_union_find(spark):
+    """Large-star/small-star fixpoint == union-find on chains (multi-
+    round convergence), shuffled paths, and a random multigraph."""
+    import random
+
+    from pygeodatacrawler_spark.operators.dedup import connected_components
+
+    rng = random.Random(7)
+    perm = list(range(100, 160))
+    rng.shuffle(perm)
+    cases = [
+        [(1, 2), (2, 3), (4, 5)],
+        [(i, i + 1) for i in range(1, 40)],          # path: O(log n) rounds
+        [(perm[i], perm[i + 1]) for i in range(58)],  # shuffled labels
+        [(rng.randrange(300), rng.randrange(300)) for _ in range(150)],
+    ]
+    for edges in cases:
+        edges = [(u, v) for u, v in edges if u != v]
+        df = spark.createDataFrame(edges, "u long, v long")
+        got = {
+            r["node"]: r["component"]
+            for r in connected_components(df).collect()
+        }
+        assert got == _uf_components(edges)
+
+
+def test_dedup_clusters_transitive_canonical(spark):
+    """A~B and B~C must land in ONE cluster with the min id canonical
+    even when A and C never collide directly; unrelated docs are their
+    own singleton clusters."""
+    from pygeodatacrawler_spark.operators.dedup import dedup_clusters
+
+    base = "the quick brown fox jumps over the lazy dog again and again "
+    rows = [
+        (1, base * 4),
+        (2, base * 4 + "tail one extra words here"),
+        (3, base * 4 + "tail one extra words here plus more drift tokens"),
+        (4, "completely different content about spark shuffles " * 6),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["doc_id"]: (r["cluster_id"], r["is_canonical"])
+        for r in dedup_clusters(df, "doc_id", "text", k=8, bands=8).collect()
+    }
+    assert len(out) == 4
+    # 1,2,3 chain into one cluster rooted at 1; 4 is its own
+    assert out[1] == (1, True)
+    assert out[2] == (1, False)
+    assert out[3] == (1, False)
+    assert out[4] == (4, True)
