@@ -650,11 +650,36 @@ from c
 
 
 def q_quality(spark, sf_dir):
+    """Quality signals: composite score + Gopher repetition rules
+    (duplicate-line fraction; top-bigram token coverage, capped at 1).
+    All four columns are codegen'd array/scalar math over ONE tokenize
+    — no shuffle, no UDF."""
+    from pygeodatacrawler_spark.functions.quality import (
+        dup_line_fraction,
+        top_ngram_count_from_tokens,
+    )
+
     d = _table(spark, sf_dir, "documents")
-    return d.select(
+    staged = d.select(
         "doc_id",
-        token_count(F.col("text")).alias("token_cnt"),
+        F.col("text"),
+        tokens(F.col("text")).alias("_toks"),
+    )
+    nt = F.size(F.col("_toks"))
+    top2 = top_ngram_count_from_tokens(F.col("_toks"), 2)
+    return staged.select(
+        "doc_id",
+        nt.alias("token_cnt"),
         quality_score(F.col("text")).alias("q_score"),
+        F.round(dup_line_fraction(F.col("text")), 4).alias("dup_line_frac"),
+        F.when(
+            nt > 0,
+            F.least(
+                F.lit(1.0), F.round(F.lit(2.0) * top2 / nt.cast("double"), 4)
+            ),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("top_bigram_frac"),
     )
 
 
@@ -667,13 +692,25 @@ m as (select doc_id, len(s) as token_cnt,
              else len(list_filter(s, x -> lower(x) in ({en}))) / len(s)::DOUBLE end as stop_ratio,
         case when length(text) = 0 then 0.0
              else len(regexp_extract_all(text, '[^\\w\\s]')) / length(text)::DOUBLE end as punct,
-        length(text) as chars
-      from t)
-select doc_id, token_cnt,
+        length(text) as chars,
+        list_filter(list_transform(string_split(text, chr(10)), l -> trim(l)),
+                    l -> l <> '') as lines
+      from t),
+big as (select doc_id, concat_ws(' ', s[i+1], s[i+2]) as g
+        from t, unnest(range(greatest(len(s)-1, 0))) as u(i)),
+bc as (select doc_id, g, count(*) as c from big group by doc_id, g),
+top as (select doc_id, max(c) as topc from bc group by doc_id)
+select m.doc_id, m.token_cnt,
   round(0.3 * least(1.0, chars / 500.0)
       + 0.4 * least(1.0, 4.0 * stop_ratio)
-      + 0.3 * (1.0 - least(1.0, 4.0 * punct)), 4) as q_score
-from m
+      + 0.3 * (1.0 - least(1.0, 4.0 * punct)), 4) as q_score,
+  round(case when len(lines) > 0
+             then 1.0 - len(list_distinct(lines)) / len(lines)::DOUBLE
+             else 0.0 end, 4) as dup_line_frac,
+  case when m.token_cnt > 0
+       then least(1.0, round(2.0 * coalesce(top.topc, 0) / m.token_cnt::DOUBLE, 4))
+       else 0.0 end as top_bigram_frac
+from m left join top on m.doc_id = top.doc_id
 """
 
 

@@ -429,3 +429,41 @@ def test_dedup_clusters_transitive_canonical(spark):
     assert out[2] == (1, False)
     assert out[3] == (1, False)
     assert out[4] == (4, True)
+
+
+def test_repetition_signals(spark):
+    """Gopher repetition rules: duplicate-line fraction and top-bigram
+    run count, on handcrafted docs with known values."""
+    import pyspark.sql.functions as F
+
+    from pygeodatacrawler_spark.functions.quality import (
+        dup_line_fraction,
+        tokens,
+        top_ngram_count_from_tokens,
+    )
+
+    rows = [
+        # 4 non-empty lines, 2 distinct -> dup frac 0.5
+        (1, "spam line\nspam line\nother\n\n  spam line  \nother"),
+        # "a b" bigram occurs 3x ("a b a b a b": bigrams ab,ba,ab,ba,ab)
+        (2, "a b a b a b"),
+        (3, ""),          # empty -> 0 / 0
+        (4, "single"),    # one token -> no bigram -> 0
+    ]
+    # row 1 lines: [spam line, spam line, other, spam line, other] ->
+    # 5 non-empty, 2 distinct -> 1 - 2/5 = 0.6
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["doc_id"]: (r["dlf"], r["top2"])
+        for r in df.select(
+            "doc_id",
+            F.round(dup_line_fraction(F.col("text")), 4).alias("dlf"),
+            top_ngram_count_from_tokens(
+                tokens(F.col("text")), 2
+            ).alias("top2"),
+        ).collect()
+    }
+    assert out[1][0] == 0.6
+    assert out[2] == (0.0, 3)
+    assert out[3] == (0.0, 0)
+    assert out[4] == (0.0, 0)
