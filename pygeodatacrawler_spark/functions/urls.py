@@ -364,3 +364,47 @@ def url_hash(canon_url: Column) -> Column:
     keeps the canonical string itself so membership parity is exact.
     """
     return F.xxhash64(canon_url)
+
+
+def url_template(url: Column) -> Column:
+    """Structural URL template for crawl-trap detection: host + path
+    with variable parts collapsed — hex/uuid-ish runs (>=8 chars,
+    incl. dashed UUIDs) -> ``~h``, digit runs -> ``~d`` — and the
+    query reduced to its sorted parameter NAMES (values are the
+    variable part; the name set is the structure). Calendar traps
+    (``/2024/01/02/``), session-id mills (``?sid=...``), and
+    faceted-search explosions all collapse onto one template while
+    genuinely distinct pages keep distinct templates. Pure column
+    exprs — JVM-side, zero-UDF."""
+    path = F.coalesce(F.parse_url(url, F.lit("PATH")), F.lit(""))
+    path = F.regexp_replace(path, r"[0-9a-fA-F-]{8,}", "~h")
+    path = F.regexp_replace(path, r"[0-9]+", "~d")
+    query = F.coalesce(F.parse_url(url, F.lit("QUERY")), F.lit(""))
+    names = F.array_sort(
+        F.filter(
+            F.transform(
+                F.split(query, "&"),
+                lambda kv: F.split(kv, "=").getItem(0),
+            ),
+            lambda k: k != "",
+        )
+    )
+    return F.concat(
+        url_host(url),
+        path,
+        F.when(F.size(names) > 0, F.concat(F.lit("?"), F.array_join(names, "&")))
+        .otherwise(F.lit("")),
+    )
+
+
+def url_template_py(url: str) -> str:
+    """Driver-side twin of url_template (tests/oracles)."""
+    host = url_host_py(url)
+    m = re.match(r"^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^?#]*)", url)
+    path = m.group(1) if m else ""
+    path = re.sub(r"[0-9a-fA-F-]{8,}", "~h", path)
+    path = re.sub(r"[0-9]+", "~d", path)
+    m = re.match(r"^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*[^?#]*\?([^#]*)", url)
+    query = m.group(1) if m else ""
+    names = sorted(kv.split("=")[0] for kv in query.split("&") if kv)
+    return host + path + ("?" + "&".join(names) if names else "")

@@ -156,6 +156,40 @@ def iter_warc_records(data: bytes):
             yield (url, ts, payload, None, ctype.split(";")[0].strip() or None)
 
 
+def iter_warc_conversions(data: bytes):
+    """Yield (url, warc_ts, text) from WARC-Type: conversion records
+    (the WET layout): payload IS the extracted text, no HTTP envelope.
+    Same total record walk as iter_warc_records; non-conversion
+    records are skipped."""
+    pos = 0
+    n = len(data)
+    while pos < n:
+        while pos < n and data[pos : pos + 1] in (b"\r", b"\n"):
+            pos += 1
+        if not data[pos : pos + 5] == b"WARC/":
+            return
+        hdr_end = data.find(_CRLF2, pos)
+        if hdr_end < 0:
+            return
+        headers = _parse_headers(data[pos:hdr_end])
+        try:
+            length = int(headers.get("content-length", ""))
+        except ValueError:
+            return
+        payload = data[hdr_end + 4 : hdr_end + 4 + length]
+        pos = hdr_end + 4 + length
+        if headers.get("warc-type", "").lower() != "conversion":
+            continue
+        url = headers.get("warc-target-uri")
+        if url is None:
+            continue
+        yield (
+            url,
+            _warc_ts(headers.get("warc-date", "")),
+            payload.decode("utf-8", "replace"),
+        )
+
+
 def read_warc(spark: SparkSession, path: str) -> DataFrame:
     """Directory (or glob) of .warc / .warc.gz -> DataFrame
     (url, warc_ts, html, status, mime).
