@@ -258,7 +258,7 @@ def registered_domain(url: Column) -> Column:
     so this stays cheap on the crawl expand hot path. Suffixes outside
     the curated subsets fall back to fewer labels.
     """
-    host = F.lower(F.parse_url(url, F.lit("HOST")))
+    host = F.lower(F.try_parse_url(url, F.lit("HOST")))
     two = F.regexp_extract(host, _TWO_RE, 1)
     three = F.regexp_extract(host, _THREE_RE, 1)
     four = F.regexp_extract(host, _FOUR_RE, 1)
@@ -290,7 +290,7 @@ def registered_domain_py(url: str) -> str:
 def url_host(url: Column) -> Column:
     """Lowercased hostname of the URL (no port, no userinfo) — the
     per-authority key RFC 9309 §2.3 scopes robots.txt by."""
-    return F.lower(F.parse_url(url, F.lit("HOST")))
+    return F.lower(F.try_parse_url(url, F.lit("HOST")))
 
 
 def url_host_py(url: str) -> str:
@@ -301,7 +301,7 @@ def url_host_py(url: str) -> str:
 
 def url_depth(url: Column) -> Column:
     """Number of non-empty path segments (crawl depth analog)."""
-    path = F.coalesce(F.parse_url(url, F.lit("PATH")), F.lit(""))
+    path = F.coalesce(F.try_parse_url(url, F.lit("PATH")), F.lit(""))
     return F.size(F.filter(F.split(path, "/"), lambda x: x != ""))
 
 
@@ -376,10 +376,10 @@ def url_template(url: Column) -> Column:
     faceted-search explosions all collapse onto one template while
     genuinely distinct pages keep distinct templates. Pure column
     exprs — JVM-side, zero-UDF."""
-    path = F.coalesce(F.parse_url(url, F.lit("PATH")), F.lit(""))
+    path = F.coalesce(F.try_parse_url(url, F.lit("PATH")), F.lit(""))
     path = F.regexp_replace(path, r"[0-9a-fA-F-]{8,}", "~h")
     path = F.regexp_replace(path, r"[0-9]+", "~d")
-    query = F.coalesce(F.parse_url(url, F.lit("QUERY")), F.lit(""))
+    query = F.coalesce(F.try_parse_url(url, F.lit("QUERY")), F.lit(""))
     names = F.array_sort(
         F.filter(
             F.transform(
