@@ -39,13 +39,16 @@ def trap_candidates(
     content_col: str | None = "text",
     min_urls: int = 100,
     max_diversity: float = 0.1,
+    exact: bool = False,
 ) -> DataFrame:
     """Templates that look like traps: >= ``min_urls`` fetched URLs
     whose distinct-content ratio is <= ``max_diversity``. With
     ``content_col=None`` the diversity gate is skipped (pure URL-count
-    explosion, usable on an unfetched frontier). Returns
-    (template, n_urls, n_distinct, diversity) sorted for stable
-    inspection."""
+    explosion, usable on an unfetched frontier). ``exact=True`` swaps
+    the HLL for COUNT(DISTINCT) — portable-oracle mode for small
+    inputs; the HLL default is the 10^10-URL path (mergeable, no
+    per-hash shuffle). Returns (template, n_urls, n_distinct,
+    diversity) sorted for stable inspection."""
     tpl = pages.select(
         url_template(F.col(url_col)).alias("template"),
         *(
@@ -55,7 +58,9 @@ def trap_candidates(
         ),
     )
     aggs = [F.count(F.lit(1)).alias("n_urls")]
-    if content_col is not None:
+    if content_col is not None and exact:
+        aggs.append(F.countDistinct("_h").alias("n_distinct"))
+    elif content_col is not None:
         aggs.append(F.approx_count_distinct("_h").alias("n_distinct"))
     else:
         aggs.append(F.lit(None).cast("long").alias("n_distinct"))
