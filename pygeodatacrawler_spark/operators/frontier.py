@@ -112,6 +112,7 @@ def pick_batch(
     host_budget: int = DEFAULT_HOST_BUDGET,
     salt_threshold: int | None = None,
     salt_buckets: int = 64,
+    host_priority: DataFrame | None = None,
 ) -> DataFrame:
     """One round's fetch batch: politeness-filtered, priority-ranked,
     budget-capped per registered_domain.
@@ -136,6 +137,23 @@ def pick_batch(
         f = apply_robots(f, robots)
         budget_col = F.least(
             F.coalesce(F.col("max_pages"), F.lit(host_budget)), F.lit(host_budget)
+        )
+    if host_priority is not None:
+        # rank-weighted budgets (e.g. budget_factors_from_pagerank):
+        # high-value hosts get proportionally more of each round —
+        # broadcast join, the priority table is O(#hosts)
+        f = f.join(
+            F.broadcast(
+                host_priority.select("registered_domain", "budget_factor")
+            ),
+            "registered_domain",
+            "left",
+        )
+        budget_col = F.greatest(
+            F.lit(1),
+            F.floor(
+                budget_col * F.coalesce(F.col("budget_factor"), F.lit(1.0))
+            ).cast("int"),
         )
     w = Window.partitionBy("registered_domain").orderBy(
         "depth", "discovery_ts", "canon_url"
@@ -179,7 +197,7 @@ def pick_batch(
         )
     return (
         out.filter(F.col("host_rank") <= F.col("_budget"))
-        .drop("_budget", "max_pages", "crawl_delay")
+        .drop("_budget", "max_pages", "crawl_delay", "budget_factor")
     )
 
 

@@ -37,15 +37,20 @@ from pyspark.sql import functions as F
 from pygeodatacrawler_spark.functions.urls import url_host
 
 
-def host_edges(records: DataFrame) -> DataFrame:
+def host_edges(records: DataFrame, key: str = "host") -> DataFrame:
     """(url, links[]) records -> weighted host-graph edges
     (src, dst, weight). Self-loops are dropped (a host linking to
     itself carries no cross-host endorsement); weight = number of
-    links, later normalized by the src's total outweight."""
+    links, later normalized by the src's total outweight.
+    ``key='domain'`` aggregates on registered_domain instead — the
+    politeness/budget key, so ranks line up with the scheduler."""
+    from pygeodatacrawler_spark.functions.urls import registered_domain
+
+    key_fn = registered_domain if key == "domain" else url_host
     e = records.select(
-        url_host(F.col("url")).alias("src"),
+        key_fn(F.col("url")).alias("src"),
         F.explode("links").alias("link"),
-    ).select("src", url_host(F.col("link")).alias("dst"))
+    ).select("src", key_fn(F.col("link")).alias("dst"))
     return (
         e.filter(
             (F.col("src") != "") & (F.col("dst") != "")
@@ -135,6 +140,32 @@ def pagerank(
     hosts.unpersist()
     src_hosts.unpersist()
     return ranks
+
+
+def budget_factors_from_pagerank(
+    ranks: DataFrame,
+    lo: float = 0.5,
+    hi: float = 2.0,
+) -> DataFrame:
+    """(host, rank) -> (registered_domain, budget_factor) for
+    pick_batch's rank-weighted budgets: min-max scale ranks into
+    [lo, hi] (degenerate all-equal case -> 1.0). Crawl-ordering use:
+    rank from crawl k-1 shapes crawl k's per-host budgets, the
+    standard prioritized-recrawl pattern."""
+    mm = ranks.agg(
+        F.min("rank").alias("mn"), F.max("rank").alias("mx")
+    )
+    return (
+        ranks.crossJoin(F.broadcast(mm))
+        .select(
+            F.col("host").alias("registered_domain"),
+            F.when(F.col("mx") > F.col("mn"),
+                   F.lit(lo) + (F.col("rank") - F.col("mn"))
+                   / (F.col("mx") - F.col("mn")) * (hi - lo))
+            .otherwise(F.lit(1.0))
+            .alias("budget_factor"),
+        )
+    )
 
 
 def pagerank_py(

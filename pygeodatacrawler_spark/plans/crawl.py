@@ -168,6 +168,10 @@ class CrawlEngine:
         bloom_min_frontier: int = 4_000_000,
         levels_per_commit: int = 1,
         fuse_min_batch: int = 20_000,
+        host_priority: DataFrame | None = None,
+        trap_every: int | None = None,
+        trap_min_urls: int = 100,
+        trap_max_diversity: float = 0.1,
     ):
         self.spark = spark
         self.pages = pages
@@ -272,6 +276,19 @@ class CrawlEngine:
         # ~15% FASTER unfused, ~138k-URL waves ~20% faster fused — so
         # fuse only once the previous batch shows the rounds are big.
         self.fuse_min_batch = fuse_min_batch
+        # rank-weighted budgets: (registered_domain, budget_factor),
+        # e.g. linkrank.budget_factors_from_pagerank over a previous
+        # crawl's host graph — broadcast into pick_batch
+        self.host_priority = host_priority
+        # crawl-trap defense (operators/traps.py): every trap_every
+        # rounds, templates are recomputed from the records committed
+        # BEFORE the last trap_every boundary — a pure function of
+        # committed state, so kill/resume replays to identical tables
+        self.trap_every = trap_every
+        self.trap_min_urls = trap_min_urls
+        self.trap_max_diversity = trap_max_diversity
+        self._trap_templates: list[str] | None = None
+        self._traps_boundary = -1
 
     # -- bootstrap ---------------------------------------------------------
     def init_from_seeds(self, seeds: DataFrame) -> None:
@@ -442,7 +459,8 @@ class CrawlEngine:
             else None
         )
         batch = pick_batch(
-            pending, self.robots, self.host_budget, salt_threshold=salt_thr
+            pending, self.robots, self.host_budget, salt_threshold=salt_thr,
+            host_priority=self.host_priority,
         )
         if salt_thr is None:
             batch = batch.withColumn("salt", F.lit(0))
@@ -601,6 +619,40 @@ class CrawlEngine:
             )
         return new_links
 
+    def _current_traps(self, round_no: int) -> DataFrame | None:
+        """Trap-template table in force at ``round_no``: recomputed
+        from records with round < the last trap_every boundary — a
+        pure function of COMMITTED state (records rows carry their
+        level's round), so an interrupted-and-resumed crawl derives
+        exactly the tables an uninterrupted one does. The collected
+        template list is O(#templates) (the explosion asymmetry is the
+        signal: few templates, many URLs)."""
+        if not self.trap_every:
+            return None
+        boundary = (round_no // self.trap_every) * self.trap_every
+        if boundary <= 0:
+            return None
+        if self._traps_boundary != boundary:
+            from pygeodatacrawler_spark.operators.traps import (
+                trap_candidates,
+            )
+
+            recs = self.records.read().filter(F.col("round") < boundary)
+            cand = trap_candidates(
+                recs.select(F.col("canon_url").alias("url"), "text"),
+                min_urls=self.trap_min_urls,
+                max_diversity=self.trap_max_diversity,
+            )
+            self._trap_templates = sorted(
+                r["template"] for r in cand.collect()
+            )
+            self._traps_boundary = boundary
+        if not self._trap_templates:
+            return None
+        return self.spark.createDataFrame(
+            [(t,) for t in self._trap_templates], "template string"
+        )
+
     def run_round(self, round_no: int) -> dict:
         """One committed crawl round: ``levels_per_commit`` BFS levels
         through pick -> fetch+extract -> expand -> seen-filter, then ONE
@@ -612,6 +664,13 @@ class CrawlEngine:
         if self._n_frontier is None:
             self._n_frontier = frontier.count()  # resume path
         pending = frontier.filter(F.col("state") == "pending")
+        traps = self._current_traps(round_no)
+        if traps is not None:
+            from pygeodatacrawler_spark.operators.traps import (
+                apply_trap_filter,
+            )
+
+            pending = apply_trap_filter(pending, traps, url_col="canon_url")
 
         levels = self.levels_per_commit
         if levels > 1 and (self._last_batch or 0) < self.fuse_min_batch:
