@@ -156,11 +156,12 @@ def iter_warc_records(data: bytes):
             yield (url, ts, payload, None, ctype.split(";")[0].strip() or None)
 
 
-def iter_warc_conversions(data: bytes):
-    """Yield (url, warc_ts, text) from WARC-Type: conversion records
-    (the WET layout): payload IS the extracted text, no HTTP envelope.
-    Same total record walk as iter_warc_records; non-conversion
-    records are skipped."""
+def iter_warc_typed(data: bytes, warc_type: str):
+    """Yield (url, warc_ts, payload_text) from records of the given
+    WARC-Type whose payload has no HTTP envelope — ``conversion``
+    (WET extracted text) and ``metadata`` (WAT JSON). Same total
+    record walk as iter_warc_records; other record types are
+    skipped."""
     pos = 0
     n = len(data)
     while pos < n:
@@ -178,7 +179,7 @@ def iter_warc_conversions(data: bytes):
             return
         payload = data[hdr_end + 4 : hdr_end + 4 + length]
         pos = hdr_end + 4 + length
-        if headers.get("warc-type", "").lower() != "conversion":
+        if headers.get("warc-type", "").lower() != warc_type:
             continue
         url = headers.get("warc-target-uri")
         if url is None:
@@ -188,6 +189,11 @@ def iter_warc_conversions(data: bytes):
             _warc_ts(headers.get("warc-date", "")),
             payload.decode("utf-8", "replace"),
         )
+
+
+def iter_warc_conversions(data: bytes):
+    """WET layout: WARC-Type: conversion, payload IS the text."""
+    return iter_warc_typed(data, "conversion")
 
 
 def read_warc(spark: SparkSession, path: str) -> DataFrame:

@@ -149,3 +149,113 @@ def read_wet(spark: SparkSession, path: str) -> DataFrame:
                     )
 
     return files.mapInPandas(_parse, schema=WET_SCHEMA)
+
+
+WAT_SCHEMA = "url string, warc_ts timestamp, payload string"
+
+
+def write_wat(
+    df: DataFrame,
+    out_dir: str,
+    gzip_members: bool = True,
+) -> list[dict]:
+    """WAT sink — Common Crawl's third artifact: per-page metadata as
+    ``WARC-Type: metadata`` records with a JSON payload. Columns
+    beyond (url, warc_ts) are serialized JVM-side with ``to_json``
+    (links arrays, status, lang — whatever the caller selected), so
+    the Python task only wraps bytes in WARC headers; same
+    one-archive-per-partition / atomic-rename / manifest discipline
+    as write_wet."""
+    import pandas as pd
+    from pyspark import TaskContext
+    from pyspark.sql import functions as F
+
+    meta_cols = [
+        c for c in df.columns if c not in ("url", "warc_ts")
+    ]
+    payload = df.select(
+        "url",
+        "warc_ts",
+        F.to_json(F.struct(*meta_cols)).alias("_json"),
+    )
+    os.makedirs(out_dir, exist_ok=True)
+    ext = ".warc.wat.gz" if gzip_members else ".warc.wat"
+
+    def _write(pdf_iter):
+        pid = TaskContext.get().partitionId()
+        final = os.path.join(out_dir, f"part-{pid:05d}{ext}")
+        tmp = final + ".inprogress"
+        n = 0
+        with open(tmp, "wb") as f:
+            for pdf in pdf_iter:
+                chunks = []
+                for url, ts, js in zip(
+                    pdf["url"], pdf["warc_ts"], pdf["_json"]
+                ):
+                    ts_iso = (
+                        pd.Timestamp(ts).strftime("%Y-%m-%dT%H:%M:%SZ")
+                        if ts is not None and not pd.isna(ts)
+                        else "1970-01-01T00:00:00Z"
+                    )
+                    body = str(js).encode("utf-8")
+                    hdr = (
+                        "WARC/1.0\r\n"
+                        "WARC-Type: metadata\r\n"
+                        f"WARC-Target-URI: {url}\r\n"
+                        f"WARC-Date: {ts_iso}\r\n"
+                        "Content-Type: application/json\r\n"
+                        f"Content-Length: {len(body)}\r\n\r\n"
+                    ).encode()
+                    rec = hdr + body + b"\r\n\r\n"
+                    chunks.append(
+                        gzip.compress(rec, mtime=0) if gzip_members else rec
+                    )
+                    n += 1
+                f.write(b"".join(chunks))
+        if n == 0:
+            os.unlink(tmp)
+            return
+        os.replace(tmp, final)
+        yield pd.DataFrame(
+            {
+                "path": [final],
+                "n_records": [n],
+                "n_bytes": [os.path.getsize(final)],
+            }
+        )
+
+    manifest = payload.mapInPandas(_write, schema=WET_MANIFEST_SCHEMA)
+    return [r.asDict() for r in manifest.collect()]
+
+
+def read_wat(spark: SparkSession, path: str) -> DataFrame:
+    """.warc.wat[.gz] archives -> (url, warc_ts, payload) with payload
+    the metadata JSON string (parse downstream with from_json and the
+    schema you wrote it with)."""
+    import pandas as pd
+
+    from pygeodatacrawler_spark.sources.warc import (
+        _gzip_members,
+        iter_warc_typed,
+    )
+
+    files = (
+        spark.read.format("binaryFile").load(path).select("path", "content")
+    )
+
+    def _parse(pdf_iter):
+        for pdf in pdf_iter:
+            for content in pdf["content"]:
+                data = bytes(content)
+                rows = []
+                if data[:2] == b"\x1f\x8b":
+                    for member in _gzip_members(data):
+                        rows.extend(iter_warc_typed(member, "metadata"))
+                else:
+                    rows.extend(iter_warc_typed(data, "metadata"))
+                if rows:
+                    yield pd.DataFrame(
+                        rows, columns=["url", "warc_ts", "payload"]
+                    )
+
+    return files.mapInPandas(_parse, schema=WAT_SCHEMA)

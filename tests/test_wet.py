@@ -97,3 +97,77 @@ def test_warc_to_wet_pipeline(spark, tmp_path):
     write_wet(pages, out)
     back = {r["url"]: r["text"] for r in read_wet(spark, out).collect()}
     assert back == expected and len(back) == 2
+
+
+def test_wat_roundtrip_with_links(spark, tmp_path):
+    """WAT: metadata JSON records — links array and scalars serialized
+    JVM-side, parseable back with from_json."""
+    import pyspark.sql.functions as F
+
+    from pygeodatacrawler_spark.sources.wet import read_wat, write_wat
+
+    df = spark.createDataFrame(
+        [
+            ("http://a.example.org/", datetime(2024, 1, 2, 3, 4, 5),
+             ["http://b.example.org/", "http://c.example.org/x"], 200, "en"),
+            ("http://b.example.org/", datetime(2024, 1, 2, 3, 4, 6),
+             [], 404, None),
+        ],
+        "url string, warc_ts timestamp, links array<string>, "
+        "status int, lang string",
+    )
+    out = os.path.join(str(tmp_path), "wat")
+    manifest = write_wat(df.repartition(2), out)
+    assert sum(m["n_records"] for m in manifest) == 2
+    back = read_wat(spark, out)
+    parsed = back.select(
+        "url",
+        "warc_ts",
+        F.from_json(
+            "payload", "links array<string>, status int, lang string"
+        ).alias("m"),
+    ).select("url", "warc_ts", "m.links", "m.status", "m.lang")
+    rows = {r["url"]: r for r in parsed.collect()}
+    a = rows["http://a.example.org/"]
+    assert a["links"] == ["http://b.example.org/", "http://c.example.org/x"]
+    assert a["status"] == 200 and a["lang"] == "en"
+    assert a["warc_ts"] == datetime(2024, 1, 2, 3, 4, 5)
+    b = rows["http://b.example.org/"]
+    assert b["status"] == 404 and b["lang"] is None and b["links"] == []
+
+
+def test_crawl_records_to_wat(spark, tmp_path):
+    """Engine records -> WAT metadata archives: the link graph
+    survives the roundtrip."""
+    import tempfile
+
+    import pyspark.sql.functions as F
+
+    from pygeodatacrawler_spark.fixtures import load_pages
+    from pygeodatacrawler_spark.plans.crawl import CrawlEngine
+    from pygeodatacrawler_spark.sources.wet import read_wat, write_wat
+
+    pages, seeds, robots = load_pages(spark, n_pages=300, n_hosts=4)
+    eng = CrawlEngine(
+        spark, tempfile.mkdtemp(dir=str(tmp_path)), pages, robots,
+        host_budget=40,
+    )
+    eng.init_from_seeds(seeds)
+    eng.run(max_rounds=6)
+    recs = eng.records.read().select(
+        F.col("canon_url").alias("url"),
+        F.current_timestamp().alias("warc_ts"),
+        "links",
+        "n_bytes",
+    )
+    want = {r["url"]: sorted(r["links"] or []) for r in recs.collect()}
+    out = os.path.join(str(tmp_path), "wat")
+    write_wat(recs, out)
+    back = read_wat(spark, out).select(
+        "url",
+        F.from_json(
+            "payload", "links array<string>, n_bytes long"
+        ).alias("m"),
+    )
+    got = {r["url"]: sorted(r["m"]["links"] or []) for r in back.collect()}
+    assert got == want and len(got) > 50
