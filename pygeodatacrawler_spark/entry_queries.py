@@ -651,10 +651,13 @@ from c
 
 def q_quality(spark, sf_dir):
     """Quality signals: composite score + Gopher repetition rules
-    (duplicate-line fraction; top-bigram token coverage, capped at 1).
-    All four columns are codegen'd array/scalar math over ONE tokenize
-    — no shuffle, no UDF."""
+    (duplicate-line fraction; top-bigram token coverage, capped at 1)
+    + C4 line-filter signals (kept-line fraction and the >=3-line page
+    gate, Raffel et al. 2020 §2.2). All columns are codegen'd
+    array/scalar math over ONE tokenize — no shuffle, no UDF."""
     from pygeodatacrawler_spark.functions.quality import (
+        c4_keep_doc,
+        c4_kept_fraction,
         dup_line_fraction,
         top_ngram_count_from_tokens,
     )
@@ -680,6 +683,8 @@ def q_quality(spark, sf_dir):
         )
         .otherwise(F.lit(0.0))
         .alias("top_bigram_frac"),
+        F.round(c4_kept_fraction(F.col("text")), 4).alias("c4_line_frac"),
+        c4_keep_doc(F.col("text")).alias("c4_keep"),
     )
 
 
@@ -709,7 +714,20 @@ select m.doc_id, m.token_cnt,
              else 0.0 end, 4) as dup_line_frac,
   case when m.token_cnt > 0
        then least(1.0, round(2.0 * coalesce(top.topc, 0) / m.token_cnt::DOUBLE, 4))
-       else 0.0 end as top_bigram_frac
+       else 0.0 end as top_bigram_frac,
+  round(case when len(lines) > 0
+             then len(list_filter(lines, l ->
+                    regexp_matches(l, '[.!?"”]$')
+                    and len(string_split_regex(l, '\\s+')) >= 5
+                    and not contains(lower(l), 'lorem ipsum')
+                    and not contains(l, '{{')))
+                  / len(lines)::DOUBLE
+             else 0.0 end, 4) as c4_line_frac,
+  len(list_filter(lines, l ->
+        regexp_matches(l, '[.!?"”]$')
+        and len(string_split_regex(l, '\\s+')) >= 5
+        and not contains(lower(l), 'lorem ipsum')
+        and not contains(l, '{{'))) >= 3 as c4_keep
 from m left join top on m.doc_id = top.doc_id
 """
 

@@ -218,3 +218,49 @@ def top_ngram_count_from_tokens(toks: Column, n: int = 2) -> Column:
         ),
         lambda acc: acc["best"],
     )
+
+
+# C4 line-level cleaning heuristics (Raffel et al. 2020, §2.2): keep
+# only lines that end in terminal punctuation AND contain >= min_words
+# words AND carry neither "lorem ipsum" nor a curly brace; a page
+# survives if >= 3 lines remain. All pure array exprs — the whole
+# filter is map-only at any scale.
+_C4_TERMINAL = r'[.!?"”]$'
+
+
+def _c4_lines(text: Column) -> Column:
+    return F.filter(
+        F.transform(F.split(text, "\n"), lambda ln: F.trim(ln)),
+        lambda ln: ln != "",
+    )
+
+
+def c4_keep_lines(text: Column, min_words: int = 5) -> Column:
+    """Array of lines surviving the C4 line filters."""
+    return F.filter(
+        _c4_lines(text),
+        lambda ln: ln.rlike(_C4_TERMINAL)
+        & (F.size(F.split(ln, r"\s+")) >= min_words)
+        & ~F.lower(ln).contains("lorem ipsum")
+        & ~ln.contains("{"),
+    )
+
+
+def c4_kept_fraction(text: Column, min_words: int = 5) -> Column:
+    """Fraction of non-empty lines the C4 filters keep (0.0 for empty
+    docs) — a per-doc cleanliness signal."""
+    n = F.size(_c4_lines(text))
+    return F.when(
+        n > 0, F.size(c4_keep_lines(text, min_words)) / n.cast("double")
+    ).otherwise(F.lit(0.0))
+
+
+def c4_filtered_text(text: Column, min_words: int = 5) -> Column:
+    """The document's text after C4 line filtering (kept lines joined
+    with newlines) — what a C4-style corpus build would emit."""
+    return F.array_join(c4_keep_lines(text, min_words), "\n")
+
+
+def c4_keep_doc(text: Column, min_words: int = 5, min_lines: int = 3) -> Column:
+    """C4's page gate: true iff >= min_lines lines survive."""
+    return F.size(c4_keep_lines(text, min_words)) >= min_lines

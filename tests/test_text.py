@@ -3,6 +3,7 @@
 from __future__ import annotations
 
 import pyspark.sql.functions as F
+import pytest
 
 from pygeodatacrawler_spark.fixtures import generate_pages
 from pygeodatacrawler_spark.functions.text import (
@@ -62,3 +63,39 @@ def test_fixture_text_column_is_extractor_output():
         assert p["text"] == extract_text_py(p["html"])
 
 
+
+
+def test_c4_line_filters(spark):
+    from pygeodatacrawler_spark.functions.quality import (
+        c4_filtered_text,
+        c4_keep_doc,
+        c4_keep_lines,
+        c4_kept_fraction,
+    )
+
+    doc = "\n".join(
+        [
+            "This is a proper sentence with enough words.",   # keep
+            "Too short.",                                      # <5 words
+            "No terminal punctuation here at all",             # no punct
+            "Lorem ipsum dolor sit amet, consectetur elit.",   # lorem
+            "A code line with braces { return 1; } stays out.",# brace
+            "",                                                # empty
+            'He said "this quoted sentence also counts fine."',# keep
+            "Does a question with five words work?",           # keep
+        ]
+    )
+    df = spark.createDataFrame([(doc,), ("",)], "text string")
+    r = df.select(
+        F.size(c4_keep_lines(F.col("text"))).alias("n"),
+        F.round(c4_kept_fraction(F.col("text")), 4).alias("frac"),
+        c4_keep_doc(F.col("text")).alias("keep"),
+        c4_filtered_text(F.col("text")).alias("clean"),
+    ).collect()
+    full, empty = r
+    assert full["n"] == 3
+    assert full["frac"] == pytest.approx(round(3 / 7, 4))
+    assert full["keep"] is True
+    assert full["clean"].splitlines()[0].startswith("This is a proper")
+    assert "Lorem ipsum" not in full["clean"] and "{" not in full["clean"]
+    assert empty["n"] == 0 and empty["frac"] == 0.0 and empty["keep"] is False
