@@ -619,6 +619,41 @@ class CrawlEngine:
             )
         return new_links
 
+    def enqueue_recrawl(
+        self,
+        base_interval: int = 4,
+        max_interval: int = 64,
+    ) -> int:
+        """Freshness pass (operators/recrawl.py): flip fetched URLs
+        whose adaptive revisit interval has elapsed back to pending.
+        O(due) delta append through the same last-writer-wins merge +
+        lineage commit as a streaming seed merge, so a crash between
+        the two rolls the flip back atomically. Returns #re-enqueued;
+        the next run() picks them up as ordinary pending rows (links
+        they re-discover stay deduped by the frontier anti-join, and
+        the records log keeps BOTH fetches — change history)."""
+        from pygeodatacrawler_spark.operators.recrawl import recrawl_due
+
+        cur = self.resume_round()
+        due = recrawl_due(
+            self.records.read(), cur, base_interval, max_interval
+        )
+        flips = (
+            self.frontier.read()
+            .filter(F.col("state") == "fetched")
+            .join(due.select("url_hash"), "url_hash")
+            .withColumn("state", F.lit("pending"))
+            .select(*FRONTIER_COLS)
+        )
+        n = flips.count()
+        if n == 0:
+            return 0
+        v = self.frontier.merge_upsert(flips)
+        self._drop_frontier_cache()
+        self._n_frontier = None
+        self.commit_external(frontier_v=v)
+        return n
+
     def _current_traps(self, round_no: int) -> DataFrame | None:
         """Trap-template table in force at ``round_no``: recomputed
         from records with round < the last trap_every boundary — a
