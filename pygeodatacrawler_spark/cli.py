@@ -52,6 +52,18 @@ def main(argv: list[str] | None = None) -> int:
         "--contact", default=None,
         help="mailto contact for the http fetch UA (default $pgdc_contact)",
     )
+    c.add_argument(
+        "--trap-every", type=int, default=None,
+        help="crawl-trap defense: recompute the URL-template trap table "
+        "every N rounds from committed records",
+    )
+    c.add_argument(
+        "--recrawl", action="store_true",
+        help="before the loop, flip fetched URLs whose adaptive revisit "
+        "interval elapsed back to pending (freshness pass)",
+    )
+    c.add_argument("--recrawl-base", type=int, default=4)
+    c.add_argument("--recrawl-max", type=int, default=64)
     _add_common(c)
 
     h = sub.add_parser("harvest", help="metadata harvest pass")
@@ -74,6 +86,22 @@ def main(argv: list[str] | None = None) -> int:
     g.add_argument("--records", required=True)
     g.add_argument("--out", required=True)
     _add_common(g)
+
+    w = sub.add_parser(
+        "archive",
+        help="export a crawl workdir's records as Common-Crawl-style "
+        "WET (extracted text) / WAT (metadata JSON) archives",
+    )
+    w.add_argument("--workdir", required=True)
+    w.add_argument("--out", required=True)
+    w.add_argument(
+        "--format", choices=["wet", "wat", "both"], default="both"
+    )
+    w.add_argument(
+        "--partitions", type=int, default=None,
+        help="archives to write (default: records' partitioning)",
+    )
+    _add_common(w)
 
     args = ap.parse_args(argv)
 
@@ -144,11 +172,19 @@ def main(argv: list[str] | None = None) -> int:
                 robots,
                 host_budget=args.host_budget,
                 fetch_fn=fetch_fn,
+                trap_every=args.trap_every,
             )
             if not eng.frontier.exists():
                 if seeds is None:
                     raise SystemExit("--seeds required for a fresh workdir")
                 eng.init_from_seeds(seeds)
+            recrawled = 0
+            if args.recrawl:
+                eng.reconcile()
+                recrawled = eng.enqueue_recrawl(
+                    base_interval=args.recrawl_base,
+                    max_interval=args.recrawl_max,
+                )
             stats = eng.run(max_rounds=args.max_rounds)
             print(
                 json.dumps(
@@ -156,6 +192,7 @@ def main(argv: list[str] | None = None) -> int:
                         "rounds": stats.rounds,
                         "urls_fetched": stats.urls_fetched,
                         "urls_discovered": stats.urls_discovered,
+                        "recrawled": recrawled,
                     }
                 )
             )
@@ -187,6 +224,51 @@ def main(argv: list[str] | None = None) -> int:
             recs = valid_records(spark.read.parquet(args.records))
             render_catalog(recs).write.mode("overwrite").parquet(args.out)
             print(json.dumps({"catalogs": spark.read.parquet(args.out).count()}))
+        elif args.cmd == "archive":
+            import os
+
+            import pyspark.sql.functions as F
+
+            from pygeodatacrawler_spark.plans.crawl import (
+                FRONTIER_SCHEMA,
+                RecordsView,
+            )
+            from pygeodatacrawler_spark.sources.wet import (
+                write_wat,
+                write_wet,
+            )
+            from pygeodatacrawler_spark.tables import SnapshotTable
+
+            ft = SnapshotTable(
+                spark, args.workdir, "frontier",
+                merge_log=True, key="url_hash", order_col="canon_url",
+                delta_partitions=None, read_schema=FRONTIER_SCHEMA,
+            )
+            recs = RecordsView(ft).read().withColumn(
+                "warc_ts", F.current_timestamp()
+            )
+            if args.partitions:
+                recs = recs.repartition(args.partitions)
+            recs = recs.cache()
+            out = {}
+            if args.format in ("wet", "both"):
+                man = write_wet(
+                    recs.select(
+                        F.col("canon_url").alias("url"), "warc_ts", "text"
+                    ),
+                    os.path.join(args.out, "wet"),
+                )
+                out["wet"] = sum(m["n_records"] for m in man)
+            if args.format in ("wat", "both"):
+                man = write_wat(
+                    recs.select(
+                        F.col("canon_url").alias("url"), "warc_ts",
+                        "links", "n_bytes", "depth", "round",
+                    ),
+                    os.path.join(args.out, "wat"),
+                )
+                out["wat"] = sum(m["n_records"] for m in man)
+            print(json.dumps(out))
     finally:
         spark.stop()
     return 0
