@@ -406,5 +406,7 @@ def url_template_py(url: str) -> str:
     path = re.sub(r"[0-9]+", "~d", path)
     m = re.match(r"^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*[^?#]*\?([^#]*)", url)
     query = m.group(1) if m else ""
-    names = sorted(kv.split("=")[0] for kv in query.split("&") if kv)
+    names = sorted(
+        n for n in (kv.split("=")[0] for kv in query.split("&")) if n
+    )
     return host + path + ("?" + "&".join(names) if names else "")
