@@ -82,3 +82,41 @@ def recrawl_due(
     return out.filter(
         F.col("last_round") + F.col("interval") <= F.lit(current_round)
     )
+
+
+def sitemap_delta(prev: DataFrame, cur: DataFrame) -> DataFrame:
+    """Two sitemap-seed snapshots (url, .., lastmod — the shape
+    ``seeds_from_sitemaps`` emits) -> rows of ``cur`` that changed
+    since ``prev``: the URL is new, its <lastmod> advanced, or its
+    lastmod is unparsable but textually different (conservative:
+    unknown change dates re-fetch rather than go stale). This is the
+    sitemaps-protocol freshness signal — publishers bump <lastmod>
+    precisely so crawlers re-fetch — and it complements the
+    fetch-history policy in ``recrawl_due``: lastmod triggers on the
+    PUBLISHER's claim, the streak policy on OBSERVED change.
+
+    One broadcast-size join (sitemap tables are dimension-sized next
+    to the frontier); lastmod parses with try_cast so W3C date-only
+    and full-datetime forms both work and garbage degrades to the
+    textual-difference rule instead of an ANSI cast error.
+
+    Returns (url, lastmod, prev_lastmod, is_new).
+    """
+    p = prev.select(
+        "url",
+        F.col("lastmod").alias("prev_lastmod"),
+        F.lit(True).alias("_in_prev"),
+    )
+    j = cur.select("url", "lastmod").join(p, "url", "left")
+    cts = F.col("lastmod").try_cast("timestamp")
+    pts = F.col("prev_lastmod").try_cast("timestamp")
+    is_new = F.col("_in_prev").isNull()
+    advanced = cts.isNotNull() & (pts.isNull() | (cts > pts))
+    text_diff = cts.isNull() & (
+        F.coalesce(F.col("lastmod"), F.lit(""))
+        != F.coalesce(F.col("prev_lastmod"), F.lit(""))
+    )
+    return (
+        j.filter(is_new | advanced | text_diff)
+        .select("url", "lastmod", "prev_lastmod", is_new.alias("is_new"))
+    )

@@ -638,10 +638,19 @@ class CrawlEngine:
         due = recrawl_due(
             self.records.read(), cur, base_interval, max_interval
         )
+        return self._flip_to_pending(due.select("url_hash"))
+
+    def _flip_to_pending(self, hashes: DataFrame) -> int:
+        """Flip already-fetched frontier rows whose url_hash is in
+        ``hashes`` back to pending, through the same last-writer-wins
+        merge + lineage commit as a streaming seed merge (a crash
+        between the two rolls the flip back atomically). Returns the
+        number re-enqueued; the next run() picks them up as ordinary
+        pending rows and the records log keeps every fetch."""
         flips = (
             self.frontier.read()
             .filter(F.col("state") == "fetched")
-            .join(due.select("url_hash"), "url_hash")
+            .join(hashes.distinct(), "url_hash")
             .withColumn("state", F.lit("pending"))
             .select(*FRONTIER_COLS)
         )
@@ -653,6 +662,32 @@ class CrawlEngine:
         self._n_frontier = None
         self.commit_external(frontier_v=v)
         return n
+
+    def enqueue_sitemap_changes(
+        self, prev_seeds: DataFrame, cur_seeds: DataFrame
+    ) -> int:
+        """Publisher-side freshness (operators/recrawl.sitemap_delta):
+        re-enqueue fetched URLs whose sitemap <lastmod> advanced
+        between two sitemap ingests. Brand-new sitemap URLs are NOT
+        seeded here — route them through merge_seeds/seeds_from_
+        sitemaps like any discovery, so depth/dedup semantics stay in
+        one place. O(changed) flip commit, resume-safe."""
+        from pygeodatacrawler_spark.operators.recrawl import sitemap_delta
+
+        changed = sitemap_delta(prev_seeds, cur_seeds)
+        keyed = changed.select(
+            url_hash(canonicalize_url(F.col("url"))).alias("url_hash")
+        )
+        return self._flip_to_pending(keyed)
+
+    def refresh_robots(self, robots: DataFrame) -> None:
+        """Swap the politeness rules table mid-crawl. RFC 9309 §2.4:
+        robots.txt answers are cacheable but SHOULD be refreshed
+        (typically within 24h); a long-running crawl calls this with a
+        re-fetched fetch_robots_table() every ttl rounds. Takes effect
+        at the next pick_batch — no cached state derives from the old
+        table (the politeness join reads self.robots per round)."""
+        self.robots = robots
 
     def _current_traps(self, round_no: int) -> DataFrame | None:
         """Trap-template table in force at ``round_no``: recomputed

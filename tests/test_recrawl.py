@@ -94,3 +94,102 @@ def test_engine_recrawl_roundtrip(spark, tmp_path):
     assert due_now == 0
     streaks = recrawl_due(recs1, cur + 10_000, base_interval=1)
     assert streaks.filter(F.col("unchanged_streak") != 1).count() == 0
+
+
+def _seeds(spark, rows):
+    return spark.createDataFrame(rows, "url string, lastmod string")
+
+
+def test_sitemap_delta_semantics(spark):
+    from pygeodatacrawler_spark.operators.recrawl import sitemap_delta
+
+    prev = _seeds(
+        spark,
+        [
+            ("http://h.org/a", "2024-01-01"),
+            ("http://h.org/b", "2024-01-01T00:00:00Z"),
+            ("http://h.org/c", "2024-01-01"),
+            ("http://h.org/d", None),
+            ("http://h.org/e", "garbage"),
+            ("http://h.org/f", "garbage"),
+        ],
+    )
+    cur = _seeds(
+        spark,
+        [
+            ("http://h.org/a", "2024-02-01"),           # advanced -> due
+            ("http://h.org/b", "2024-01-01T00:00:00Z"),  # equal -> not due
+            ("http://h.org/c", "2023-12-01"),           # went BACK -> not due
+            ("http://h.org/d", "2024-01-05"),           # appeared -> due
+            ("http://h.org/e", "other-garbage"),        # text diff -> due
+            ("http://h.org/f", "garbage"),              # same garbage -> no
+            ("http://h.org/new", None),                 # new url -> due
+        ],
+    )
+    got = {r["url"]: r for r in sitemap_delta(prev, cur).collect()}
+    assert set(got) == {
+        "http://h.org/a", "http://h.org/d", "http://h.org/e",
+        "http://h.org/new",
+    }
+    assert got["http://h.org/new"]["is_new"]
+    assert not got["http://h.org/a"]["is_new"]
+    assert got["http://h.org/a"]["prev_lastmod"] == "2024-01-01"
+
+
+def test_engine_sitemap_changes_and_robots_refresh(spark, tmp_path):
+    import tempfile
+
+    from pygeodatacrawler_spark.fixtures import load_pages
+    from pygeodatacrawler_spark.plans.crawl import CrawlEngine
+
+    pages, seeds, robots = load_pages(spark, n_pages=150, n_hosts=3)
+    wd = tempfile.mkdtemp(dir=str(tmp_path))
+    eng = CrawlEngine(spark, wd, pages, robots, host_budget=60)
+    eng.init_from_seeds(seeds)
+    eng.run(max_rounds=10)
+    fetched = [
+        r["canon_url"]
+        for r in eng.frontier.read()
+        .filter(F.col("state") == "fetched")
+        .orderBy("canon_url")
+        .limit(3)
+        .collect()
+    ]
+    n0 = eng.records.read().count()
+
+    prev = _seeds(spark, [(u, "2024-01-01") for u in fetched])
+    cur = _seeds(
+        spark,
+        [
+            (fetched[0], "2024-03-01"),      # advanced -> refetch
+            (fetched[1], "2024-01-01"),      # unchanged
+            (fetched[2], "2024-01-01"),      # unchanged
+            ("http://nowhere.example/x", "2024-03-01"),  # not in frontier
+        ],
+    )
+    flipped = eng.enqueue_sitemap_changes(prev, cur)
+    assert flipped == 1
+
+    eng2 = CrawlEngine(spark, wd, pages, robots, host_budget=60)
+    eng2.run(max_rounds=5)
+    recs = eng2.records.read()
+    assert recs.count() == n0 + 1
+    refetched = (
+        recs.groupBy("url_hash").count().filter(F.col("count") == 2)
+    )
+    assert refetched.count() == 1
+
+    # RFC 9309 2.4 cache refresh: swap in a block-everything table and
+    # flip a URL back to pending — the next run must not fetch it
+    import pyspark.sql.functions as SF
+
+    block_all = robots.withColumn("skip_pattern", SF.lit("."))
+    eng2.refresh_robots(block_all)
+    again = eng2.enqueue_sitemap_changes(
+        prev, _seeds(spark, [(fetched[0], "2024-06-01")])
+    )
+    assert again == 1
+    before = eng2.stats.urls_fetched  # stats accumulate per instance
+    eng2.run(max_rounds=5)
+    assert eng2.stats.urls_fetched == before  # blocked -> nothing fetched
+    assert eng2.records.read().count() == n0 + 1
