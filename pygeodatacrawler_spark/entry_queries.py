@@ -842,6 +842,7 @@ select doc_id, canon,
        when regexp_extract(h, '([^.]+\\.[^.]+)$', 1) in ({PSL_IN_LIST})
         and regexp_extract(h, '([^.]+\\.[^.]+\\.[^.]+)$', 1) <> ''
        then regexp_extract(h, '([^.]+\\.[^.]+\\.[^.]+)$', 1)
+       when regexp_extract(h, '([^.]+\\.[^.]+)$', 1) = '' then h
        else regexp_extract(h, '([^.]+\\.[^.]+)$', 1) end as domain,
   len(list_filter(string_split(regexp_extract(canon, '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^?#]*)', 1), '/'),
                   x -> x <> '')) as depth,
@@ -918,14 +919,21 @@ def q_trap_detect(spark, sf_dir):
 
     d = _table(spark, sf_dir, "documents")
     m3 = F.col("doc_id") % 3
+    # digit runs capped below 8 chars (mod 1e6): an 8+-digit run is
+    # also a hex run, which url_template collapses to ~h, not the ~d
+    # the oracle's ground-truth templates assume — without the cap the
+    # populations split at doc_id >= 1,428,572 (big sf only)
+    seg = (F.col("doc_id") % 1000000).cast("string")
+    seg7 = ((F.col("doc_id") * 7) % 1000000).cast("string")
+    seg13 = ((F.col("doc_id") * 13) % 1000000).cast("string")
     url = (
         F.when(
             m3 == 0,
             F.concat(
                 F.lit("http://trap.example.org/cal/"),
-                F.col("doc_id").cast("string"),
+                seg,
                 F.lit("/"),
-                (F.col("doc_id") * 7).cast("string"),
+                seg7,
                 F.lit("/"),
             ),
         )
@@ -933,15 +941,15 @@ def q_trap_detect(spark, sf_dir):
             m3 == 1,
             F.concat(
                 F.lit("http://sess.example.org/view?page="),
-                F.col("doc_id").cast("string"),
+                seg,
                 F.lit("&sid="),
-                (F.col("doc_id") * 13).cast("string"),
+                seg13,
             ),
         )
         .otherwise(
             F.concat(
                 F.lit("http://good.example.org/post/"),
-                F.col("doc_id").cast("string"),
+                seg,
             )
         )
     )

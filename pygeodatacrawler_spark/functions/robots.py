@@ -137,9 +137,14 @@ def _rule_structs(rules: list[str]) -> list[dict]:
     ITSELF (not the matched span): that is what "the match that has
     the most octets" means in the RFC and what Google's open-source
     parser implements (priority = pattern length), and it keeps ties
-    deterministic under ``*`` wildcards where greedy spans differ."""
+    deterministic under ``*`` wildcards where greedy spans differ.
+    Octets, not characters: a multibyte path like ``/café`` counts its
+    UTF-8 bytes, matching RFC-conformant parsers on i18n rules."""
     return [
-        {"rx": _URL_HEAD + "(?:" + _path_rule_to_regex(r) + ")", "prio": len(r)}
+        {
+            "rx": _URL_HEAD + "(?:" + _path_rule_to_regex(r) + ")",
+            "prio": len(r.encode("utf-8")),
+        }
         for r in rules
     ]
 

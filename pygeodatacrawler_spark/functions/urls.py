@@ -258,13 +258,23 @@ def registered_domain(url: Column) -> Column:
     so this stays cheap on the crawl expand hot path. Suffixes outside
     the curated subsets fall back to fewer labels.
     """
-    host = F.lower(F.try_parse_url(url, F.lit("HOST")))
+    return host_registered_domain(F.try_parse_url(url, F.lit("HOST")))
+
+
+def host_registered_domain(host: Column) -> Column:
+    """Registered domain of a bare hostname Column (same PSL logic as
+    ``registered_domain``, for inputs that are already hosts — e.g.
+    PageRank's host-keyed output mapped onto the politeness key). A
+    host with no dot (or empty/NULL) passes through unchanged, like
+    the ``host_registered_domain_py`` twin."""
+    host = F.lower(host)
     two = F.regexp_extract(host, _TWO_RE, 1)
     three = F.regexp_extract(host, _THREE_RE, 1)
     four = F.regexp_extract(host, _FOUR_RE, 1)
     return (
         F.when(three.isin(*_PSL3_SET) & (four != ""), four)
         .when(two.isin(*_PSL_SET) & (three != ""), three)
+        .when(two == "", host)
         .otherwise(two)
     )
 
@@ -375,11 +385,27 @@ def url_template(url: Column) -> Column:
     (``/2024/01/02/``), session-id mills (``?sid=...``), and
     faceted-search explosions all collapse onto one template while
     genuinely distinct pages keep distinct templates. Pure column
-    exprs — JVM-side, zero-UDF."""
-    path = F.coalesce(F.try_parse_url(url, F.lit("PATH")), F.lit(""))
+    exprs — JVM-side, zero-UDF.
+
+    TOTAL on any non-NULL string: host/path/query come from the same
+    regexes as ``url_template_py`` (not try_parse_url, whose NULL on a
+    java.net.URI-rejected URL would both lump every malformed URL
+    under one NULL template and make the trap anti-join — null never
+    equals — unable to drop them)."""
+    raw_host = F.regexp_extract(
+        url, r"^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]*)", 1
+    )
+    host = F.split(
+        F.element_at(F.split(F.lower(raw_host), "@"), -1), ":"
+    ).getItem(0)
+    path = F.regexp_extract(
+        url, r"^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^?#]*)", 1
+    )
     path = F.regexp_replace(path, r"[0-9a-fA-F-]{8,}", "~h")
     path = F.regexp_replace(path, r"[0-9]+", "~d")
-    query = F.coalesce(F.try_parse_url(url, F.lit("QUERY")), F.lit(""))
+    query = F.regexp_extract(
+        url, r"^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*[^?#]*\?([^#]*)", 1
+    )
     names = F.array_sort(
         F.filter(
             F.transform(
@@ -390,7 +416,7 @@ def url_template(url: Column) -> Column:
         )
     )
     return F.concat(
-        url_host(url),
+        host,
         path,
         F.when(F.size(names) > 0, F.concat(F.lit("?"), F.array_join(names, "&")))
         .otherwise(F.lit("")),

@@ -151,14 +151,31 @@ def budget_factors_from_pagerank(
     pick_batch's rank-weighted budgets: min-max scale ranks into
     [lo, hi] (degenerate all-equal case -> 1.0). Crawl-ordering use:
     rank from crawl k-1 shapes crawl k's per-host budgets, the
-    standard prioritized-recrawl pattern."""
-    mm = ranks.agg(
+    standard prioritized-recrawl pattern.
+
+    The join key pick_batch uses is registered_domain, so host-keyed
+    ranks (the ``host_edges`` default) are folded onto the politeness
+    key here — each host's rank mass sums into its registered domain
+    (PSL-aware, identity for already-domain-keyed or dot-less hosts).
+    Without this fold a host-keyed table would miss every
+    registered_domain row and silently weight nothing."""
+    from pygeodatacrawler_spark.functions.urls import host_registered_domain
+
+    dom = (
+        ranks.select(
+            host_registered_domain(F.col("host")).alias("registered_domain"),
+            "rank",
+        )
+        .groupBy("registered_domain")
+        .agg(F.sum("rank").alias("rank"))
+    )
+    mm = dom.agg(
         F.min("rank").alias("mn"), F.max("rank").alias("mx")
     )
     return (
-        ranks.crossJoin(F.broadcast(mm))
+        dom.crossJoin(F.broadcast(mm))
         .select(
-            F.col("host").alias("registered_domain"),
+            "registered_domain",
             F.when(F.col("mx") > F.col("mn"),
                    F.lit(lo) + (F.col("rank") - F.col("mn"))
                    / (F.col("mx") - F.col("mn")) * (hi - lo))

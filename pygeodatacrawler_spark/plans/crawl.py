@@ -653,11 +653,17 @@ class CrawlEngine:
             .join(hashes.distinct(), "url_hash")
             .withColumn("state", F.lit("pending"))
             .select(*FRONTIER_COLS)
+            # cache: the count below and merge_upsert's delta write
+            # would otherwise each run the full merge-on-read frontier
+            # resolve + join — O(due) rows, so the cache is tiny
+            .cache()
         )
         n = flips.count()
         if n == 0:
+            flips.unpersist()
             return 0
         v = self.frontier.merge_upsert(flips)
+        flips.unpersist()
         self._drop_frontier_cache()
         self._n_frontier = None
         self.commit_external(frontier_v=v)

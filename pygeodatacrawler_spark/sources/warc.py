@@ -106,11 +106,11 @@ def _warc_ts(value: str):
         return None
 
 
-def iter_warc_records(data: bytes):
-    """Yield (url, warc_ts, html, status, mime) from one WARC stream's
-    bytes (already decompressed). Only WARC-Type: response records
-    with an HTTP payload yield rows; request/metadata/warcinfo records
-    are skipped, exactly like Common Crawl consumers do."""
+def _walk_records(data: bytes):
+    """Total record walk shared by every WARC reader: yield
+    (headers, payload) per record, tolerating stray separators, and
+    stop cleanly on anything that breaks framing (no WARC/ magic,
+    unterminated header block, unparsable Content-Length)."""
     pos = 0
     n = len(data)
     while pos < n:
@@ -129,6 +129,15 @@ def iter_warc_records(data: bytes):
             return
         payload = data[hdr_end + 4 : hdr_end + 4 + length]
         pos = hdr_end + 4 + length
+        yield headers, payload
+
+
+def iter_warc_records(data: bytes):
+    """Yield (url, warc_ts, html, status, mime) from one WARC stream's
+    bytes (already decompressed). Only WARC-Type: response records
+    with an HTTP payload yield rows; request/metadata/warcinfo records
+    are skipped, exactly like Common Crawl consumers do."""
+    for headers, payload in _walk_records(data):
         if headers.get("warc-type", "").lower() != "response":
             continue
         url = headers.get("warc-target-uri")
@@ -159,26 +168,9 @@ def iter_warc_records(data: bytes):
 def iter_warc_typed(data: bytes, warc_type: str):
     """Yield (url, warc_ts, payload_text) from records of the given
     WARC-Type whose payload has no HTTP envelope — ``conversion``
-    (WET extracted text) and ``metadata`` (WAT JSON). Same total
-    record walk as iter_warc_records; other record types are
-    skipped."""
-    pos = 0
-    n = len(data)
-    while pos < n:
-        while pos < n and data[pos : pos + 1] in (b"\r", b"\n"):
-            pos += 1
-        if not data[pos : pos + 5] == b"WARC/":
-            return
-        hdr_end = data.find(_CRLF2, pos)
-        if hdr_end < 0:
-            return
-        headers = _parse_headers(data[pos:hdr_end])
-        try:
-            length = int(headers.get("content-length", ""))
-        except ValueError:
-            return
-        payload = data[hdr_end + 4 : hdr_end + 4 + length]
-        pos = hdr_end + 4 + length
+    (WET extracted text) and ``metadata`` (WAT JSON). Rides the same
+    ``_walk_records`` total walk; other record types are skipped."""
+    for headers, payload in _walk_records(data):
         if headers.get("warc-type", "").lower() != warc_type:
             continue
         url = headers.get("warc-target-uri")

@@ -81,6 +81,30 @@ def test_url_template_parity_property(spark):
     _check_templates(spark)
 
 
+def test_url_template_parity_malformed(spark):
+    """Parity must hold on URLs java.net.URI would reject too — the
+    template function is regex-total on both sides, so malformed
+    frontier URLs group under real templates (never NULL) and the
+    trap anti-join can drop them."""
+    bad = [
+        "http://exa mple.com/x",
+        "not-a-url",
+        "http://",
+        "http:///path/only",
+        "http://h.org/a b/99999999?x=1&=2",
+        "ftp://user@h.org:21/dir/12345678abc/",
+        "http://h.org/%zz/2024?",
+        "//scheme.less/path",
+        "",
+        "http://[::1]:8080/p/1",
+    ]
+    df = spark.createDataFrame([(u,) for u in bad], "url string")
+    rows = df.select(url_template(F.col("url")).alias("t")).collect()
+    for u, r in zip(bad, rows):
+        assert r["t"] == url_template_py(u), repr(u)
+        assert r["t"] is not None, repr(u)
+
+
 # -- WARC parser totality -----------------------------------------------
 
 _TS = "2024-01-02T03:04:05Z"
@@ -152,10 +176,12 @@ def test_warc_truncation_yields_prefix(tmp_path_factory, records, data):
     assert len(part) <= len(whole)
     for exp, got in zip(whole, part):
         # every record the truncated parse DOES yield is intact or a
-        # clean prefix-truncated payload of the true record; URL and
-        # status come from headers and must match exactly
+        # clean prefix-truncated payload of the true record (a cut
+        # inside the last record's body yields best-effort bytes);
+        # URL and timestamp come from headers and must match exactly
         assert got[0] == exp[0]
-        assert exp[2] == got[2] and exp[1] == got[1]
+        assert exp[1] == got[1]
+        assert exp[2].startswith(got[2])
 
 
 @settings(max_examples=25, deadline=None)
