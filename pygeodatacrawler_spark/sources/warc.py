@@ -95,6 +95,24 @@ def _dechunk(body: bytes) -> bytes:
     return b"".join(out)
 
 
+def _decompress_body(body: bytes) -> bytes:
+    """Best-effort Content-Encoding decode (gzip / zlib / raw deflate
+    — the three shapes real servers label 'gzip' or 'deflate'). A body
+    that decodes to nothing or is not actually compressed passes
+    through unchanged; truncated streams yield the bytes that did
+    decode — at archive scale a mislabeled record must degrade, never
+    raise."""
+    for wbits in (47, -15):  # 47 = auto-detect zlib/gzip, -15 = raw
+        d = zlib.decompressobj(wbits=wbits)
+        try:
+            out = d.decompress(body)
+        except zlib.error:
+            continue
+        if out or not body:
+            return out
+    return body
+
+
 def _warc_ts(value: str):
     try:
         return (
@@ -158,6 +176,9 @@ def iter_warc_records(data: bytes):
                 status = None
             if "chunked" in http.get("transfer-encoding", "").lower():
                 body = _dechunk(body)
+            enc = http.get("content-encoding", "").lower()
+            if "gzip" in enc or "deflate" in enc:
+                body = _decompress_body(body)
             mime = http.get("content-type", "").split(";")[0].strip() or None
             yield (url, ts, body, status, mime)
         else:

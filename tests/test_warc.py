@@ -125,3 +125,38 @@ def test_warc_drives_crawl_engine(spark, tmp_path):
         "http://w.example.org/a": 1,
         "http://w.example.org/b": 1,
     }
+
+
+def test_warc_content_encoding_bodies():
+    """HTTP payloads labeled Content-Encoding gzip/deflate decode to
+    the original bytes (Common Crawl stores raw HTTP, compressed
+    bodies included); a mislabeled uncompressed body passes through."""
+    import gzip as _gzip
+    import zlib as _zlib
+
+    def rec(url, enc, body):
+        http = (
+            f"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n"
+            f"Content-Encoding: {enc}\r\n"
+            f"Content-Length: {len(body)}\r\n\r\n"
+        ).encode() + body
+        return (
+            "WARC/1.0\r\nWARC-Type: response\r\n"
+            f"WARC-Target-URI: {url}\r\n"
+            "WARC-Date: 2024-01-02T03:04:05Z\r\n"
+            "Content-Type: application/http; msgtype=response\r\n"
+            f"Content-Length: {len(http)}\r\n\r\n"
+        ).encode() + http + b"\r\n\r\n"
+
+    plain = b"<html><body>compressed page</body></html>"
+    data = (
+        rec("http://g.org/", "gzip", _gzip.compress(plain))
+        + rec("http://z.org/", "deflate", _zlib.compress(plain))
+        + rec("http://r.org/", "deflate", _zlib.compress(plain)[2:-4])
+        + rec("http://lie.org/", "gzip", plain)  # mislabeled
+    )
+    got = {r[0]: r[2] for r in iter_warc_records(data)}
+    assert got["http://g.org/"] == plain
+    assert got["http://z.org/"] == plain
+    assert got["http://r.org/"] == plain  # raw-deflate fallback
+    assert got["http://lie.org/"] == plain  # passthrough, no raise
