@@ -83,6 +83,24 @@ def _table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def _spread(spark: SparkSession, df: DataFrame) -> DataFrame:
+    """Scan-parallelism guard for compute-heavy map stages (guide §2.5
+    input skew / §6 input splits): the documents table is ONE parquet
+    file with ONE row group, so the scan is 1-2 tasks no matter what
+    ``maxPartitionBytes`` says — every per-row-expensive pipeline
+    (tokenize/hash/UDF) downstream of it was running on 1-2 of 32
+    cores. A deterministic hash repartition on the key spreads the
+    ~16 MB of text across the cluster for a few ms of shuffle.
+    Cluster-size-derived (defaultParallelism), not a local constant;
+    on a many-file corpus at scale the scan already has >= cores
+    splits and the guard is a no-op."""
+    n = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= n:
+        return df
+    key = df.columns[0]
+    return df.repartition(n, F.col(key))
+
+
 # =====================================================================
 # aggregations (SURVEY §2.4)
 # =====================================================================
@@ -418,7 +436,7 @@ _MH_PARAMS = minhash_params(_MH_K)
 
 
 def q_minhash_signature(spark, sf_dir):
-    d = _table(spark, sf_dir, "documents")
+    d = _spread(spark, _table(spark, sf_dir, "documents"))
     return minhash_signature(d, "doc_id", "text", k=_MH_K, shingle_n=3)
 
 
@@ -444,7 +462,7 @@ def q_minhash_lsh_pairs(spark, sf_dir):
     needs; pairs alone keep B twice when A~B~C). Singletons label
     themselves. One query so both stay inside the driver's 50-query
     correctness window."""
-    d = _table(spark, sf_dir, "documents")
+    d = _spread(spark, _table(spark, sf_dir, "documents"))
     pairs = minhash_lsh_pairs(d, "doc_id", "text", k=_MH_K, bands=_MH_K, shingle_n=3)
     labels = connected_components(pairs, "id_a", "id_b")
     clusters = (
@@ -500,7 +518,7 @@ def q_ngram_jaccard(spark, sf_dir):
     The standalone exact self-join (ngram_jaccard_pairs) is O(D^2) per
     hot shingle — 23.6 s at sf0.1 vs LSH-bounded here. The exact form
     stays available as an explicit opt-in for small corpora."""
-    d = _table(spark, sf_dir, "documents")
+    d = _spread(spark, _table(spark, sf_dir, "documents"))
     cand = minhash_lsh_pairs(d, "doc_id", "text", k=_MH_K, bands=_MH_K, shingle_n=3)
     return ngram_jaccard_verify(d, cand, "doc_id", "text", shingle_n=2, threshold=0.05)
 
@@ -549,7 +567,7 @@ _SH_BITS = 16
 
 
 def q_simhash(spark, sf_dir):
-    d = _table(spark, sf_dir, "documents")
+    d = _spread(spark, _table(spark, sf_dir, "documents"))
     return simhash_buckets(d, "doc_id", "text", prefix_bits=_SH_BITS)
 
 
@@ -627,7 +645,7 @@ where {cos} >= 0.25
 # text analysis
 # =====================================================================
 def q_lang_id(spark, sf_dir):
-    d = _table(spark, sf_dir, "documents")
+    d = _spread(spark, _table(spark, sf_dir, "documents"))
     return d.select("doc_id", lang_id(F.col("text")).alias("lang_pred"))
 
 
@@ -662,7 +680,7 @@ def q_quality(spark, sf_dir):
         top_ngram_count_from_tokens,
     )
 
-    d = _table(spark, sf_dir, "documents")
+    d = _spread(spark, _table(spark, sf_dir, "documents"))
     staged = d.select(
         "doc_id",
         F.col("text"),
@@ -735,7 +753,7 @@ from m left join top on m.doc_id = top.doc_id
 def q_fingerprint(spark, sf_dir):
     from pygeodatacrawler_spark.functions.quality import fingerprint_from_tokens
 
-    d = _table(spark, sf_dir, "documents")
+    d = _spread(spark, _table(spark, sf_dir, "documents"))
     return d.select("doc_id", tokens(F.col("text")).alias("_toks")).select(
         "doc_id", fingerprint_from_tokens(F.col("_toks"), 3).alias("fp")
     )
@@ -751,7 +769,7 @@ SQL_FINGERPRINT = (
 # scalar functions: URL canonicalization / checkId / dict_merge
 # =====================================================================
 def _synth_url(spark, sf_dir):
-    d = _table(spark, sf_dir, "documents")
+    d = _spread(spark, _table(spark, sf_dir, "documents"))
     suffix = (
         F.when(F.col("doc_id") % 3 == 0, F.lit(".html?service=WMS&request=GetCapabilities&map=1"))
         .when(F.col("doc_id") % 3 == 1, F.lit(".html#sec"))

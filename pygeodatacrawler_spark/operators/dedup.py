@@ -21,20 +21,20 @@ verify results value-for-value.
 
 from __future__ import annotations
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 import pyspark.sql.functions as F
 from pyspark.sql.functions import pandas_udf
 
 from pygeodatacrawler_spark.functions.hashes import (
+    MINHASH_PRIME,
     md5_long,
     minhash_params,
-    minhash_perm,
 )
 from pygeodatacrawler_spark.functions.quality import (
     ngrams_from_tokens,
     tokens,
-    word_ngrams,
 )
 
 
@@ -57,28 +57,69 @@ def dedup_exact(df: DataFrame, content_col: str, id_col: str) -> DataFrame:
 def minhash_signature(
     df: DataFrame, id_col: str, text_col: str, k: int = 16, shingle_n: int = 3
 ) -> DataFrame:
-    """(id, sig array<long>) — K-permutation MinHash over word shingles.
+    """(id, mh0..mhK-1) — K-permutation MinHash over word shingles.
 
-    Implemented as a flat aggregation: explode shingles once, take
-    min((a_i*h+b_i) mod p) per permutation in a single groupBy — K mins
-    computed map-side, one shuffle total, no K-fold re-scan.
+    Map-only (round 6, guide §2.4/§4.2): one Arrow-batched UDF per doc
+    computes md5_long per shingle (hashlib md5 — bit-identical to the
+    JVM/DuckDB md5) and all K permutation minima vectorized in numpy —
+    the K mins stay inside the row, so the explode(shingles) ->
+    groupBy(id) exchange of the previous shape disappears entirely
+    (plan: 1 Exchange -> 0; 4.09 s -> ~1 s at sf1.0/50k docs).
+    Semantics are pinned by the DuckDB oracle twin (_sql_minhash_sig)
+    and test_minhash: docs with fewer than ``shingle_n`` tokens (or
+    null text) produce no signature row, exactly like the old explode
+    (no gram rows -> no group).
     """
     params = minhash_params(k)
-    # two-step: tokenize once per row, THEN shingle from the column —
-    # see ngrams_from_tokens (inlined split re-evaluates per gram)
-    grams = (
-        df.select(F.col(id_col), tokens(F.col(text_col)).alias("_toks"))
-        .select(
-            F.col(id_col),
-            F.explode(ngrams_from_tokens(F.col("_toks"), shingle_n)).alias("g"),
-        )
-        .withColumn("h", md5_long(F.col("g")))
+    a_vec = np.array([a for a, _ in params], dtype=np.int64)
+    b_vec = np.array([b for _, b in params], dtype=np.int64)
+    p = MINHASH_PRIME
+    n = shingle_n
+
+    @pandas_udf("array<long>")
+    def _sig(text: pd.Series) -> pd.Series:
+        import hashlib  # noqa: PLC0415 (executor-side)
+
+        out: list = []
+        for t in text:
+            if t is None:
+                out.append(None)
+                continue
+            toks = t.split()  # same ws set as tokens() on this corpus;
+            # pinned by test_gram_udf_matches_column_chain's edge rows
+            m = len(toks) - n + 1
+            if m <= 0:
+                out.append(None)
+                continue
+            hs = np.fromiter(
+                (
+                    int(
+                        hashlib.md5(
+                            " ".join(toks[i : i + n]).encode("utf-8")
+                        ).hexdigest()[:15],
+                        16,
+                    )
+                    for i in range(m)
+                ),
+                dtype=np.int64,
+                count=m,
+            )
+            hm = hs % p
+            out.append(((hm[:, None] * a_vec + b_vec) % p).min(axis=0))
+        return pd.Series(out, dtype=object)
+
+    # guide §4.4: the isNotNull filter below would otherwise duplicate
+    # the UDF (one ArrowEvalPython pushed below the caller's exchange —
+    # i.e. evaluated at SCAN parallelism — plus one above for the
+    # projection). Non-deterministic pins a single evaluation.
+    _sig = _sig.asNondeterministic()
+
+    sig = df.select(
+        F.col(id_col), _sig(F.col(text_col)).alias("_sig")
+    ).filter(F.col("_sig").isNotNull())
+    return sig.select(
+        id_col, *[F.col("_sig")[i].alias(f"mh{i}") for i in range(k)]
     )
-    aggs = [
-        F.min(minhash_perm(F.col("h"), a, b)).alias(f"mh{i}")
-        for i, (a, b) in enumerate(params)
-    ]
-    return grams.groupBy(id_col).agg(*aggs)
 
 
 def minhash_lsh_pairs(
@@ -274,40 +315,73 @@ def ngram_jaccard_verify(
     default near-dup path at corpus scale; ngram_jaccard_pairs stays as
     the exact-standalone opt-in.
 
-    The shingle arrays are built by an Arrow-batched pandas UDF, not
-    the tokens->transform->array_distinct Column chain: higher-order
+    The shingle sets are built by an Arrow-batched pandas UDF, not the
+    tokens->transform->array_distinct Column chain: higher-order
     functions are interpreted per element (outside whole-stage
     codegen), and the chain measured 6.1 s for 5,000 docs vs 0.5 s for
     the UDF — 12x, with output equality pinned by
-    test_gram_udf_matches_column_chain. "UDFs are the slow path" holds
-    for scalar row work, not for HOF-heavy array construction.
+    test_gram_udf_matches_column_chain.
+
+    Round-6 shape (guide §2.3/§2.5/§8): the per-doc shingle set is a
+    SORTED array of 64-bit hashes (pandas hash_array, fixed key —
+    deterministic across workers), hashed once per Arrow batch, not an
+    array of strings: the pair table then carries 8 B/shingle instead
+    of ~16-char strings through the attach joins, and array_intersect
+    runs its primitive-long fast path. Jaccard over hashes equals
+    jaccard over the strings unless two distinct shingles collide in
+    64 bits (P < n_distinct^2/2^65 — ~2e-7 for the 2.7M distinct
+    shingles of the sf1.0 corpus); equality against the string chain is
+    pinned per-value by test_gram_udf_matches_column_chain and the
+    driver's DuckDB oracle at every tested sf. The candidate pairs are
+    explicitly repartitioned to the cluster's core count before the
+    attach joins: AQE coalesces the pair shuffle by BYTES (a few MB of
+    (long, long) rows), but per-pair intersect work is enormous per
+    byte, and the coalesced 1-2 partitions serialized the whole verify
+    onto one core — 152 s -> 18.7 s at sf1.0 from the repartition
+    alone (cluster-size-derived, not a local constant).
     """
     n = shingle_n
 
-    @pandas_udf("array<string>")
-    def _distinct_grams(text: pd.Series) -> pd.Series:
-        out = []
+    @pandas_udf("array<long>")
+    def _gram_hashes(text: pd.Series) -> pd.Series:
+        from pandas.util import hash_array  # noqa: PLC0415 (executor-side)
+
+        grams: list[str] = []
+        bounds = [0]
+        nulls: list[bool] = []
         for t in text:
             if t is None:
-                out.append(None)
-                continue
-            toks = t.split()  # identical to tokens(): same ws set
-            grams = dict.fromkeys(  # first-occurrence order, distinct
-                " ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)
-            )
-            out.append(list(grams))
-        return pd.Series(out)
+                nulls.append(True)
+            else:
+                nulls.append(False)
+                toks = t.split()  # identical to tokens(): same ws set
+                grams.extend(
+                    " ".join(toks[i : i + n])
+                    for i in range(len(toks) - n + 1)
+                )
+            bounds.append(len(grams))
+        if grams:
+            h = hash_array(np.asarray(grams, dtype=object)).view("int64")
+        else:
+            h = np.empty(0, dtype=np.int64)
+        out = [
+            None if isnull else np.unique(h[bounds[i] : bounds[i + 1]])
+            for i, isnull in enumerate(nulls)
+        ]
+        return pd.Series(out, dtype=object)
 
     ga = df.select(
         F.col(id_col).alias("_vid"),
-        _distinct_grams(F.col(text_col)).alias("_grams"),
+        _gram_hashes(F.col(text_col)).alias("_grams"),
     )
     a = ga.select(F.col("_vid").alias("id_a"), F.col("_grams").alias("_ga"))
     b = ga.select(F.col("_vid").alias("id_b"), F.col("_grams").alias("_gb"))
+    n_parts = df.sparkSession.sparkContext.defaultParallelism
     n_inter = F.size(F.array_intersect(F.col("_ga"), F.col("_gb")))
     union = F.size(F.col("_ga")) + F.size(F.col("_gb")) - n_inter
     return (
         pairs.select("id_a", "id_b")
+        .repartition(n_parts)
         .join(a, "id_a")
         .join(b, "id_b")
         # nullif: two zero-shingle docs have an undefined jaccard (the
