@@ -55,7 +55,6 @@ from pygeodatacrawler_spark.operators.similarity import (
     lsh_topk,
 )
 from pygeodatacrawler_spark.operators.windows import (
-    first_match_wins,
     sessionize,
     token_budget,
     topk_per_group,
@@ -83,7 +82,9 @@ def _table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
-def _spread(spark: SparkSession, df: DataFrame) -> DataFrame:
+def _spread(
+    spark: SparkSession, df: DataFrame, key: str | None = None
+) -> DataFrame:
     """Scan-parallelism guard for compute-heavy map stages (guide §2.5
     input skew / §6 input splits): the documents table is ONE parquet
     file with ONE row group, so the scan is 1-2 tasks no matter what
@@ -97,7 +98,7 @@ def _spread(spark: SparkSession, df: DataFrame) -> DataFrame:
     n = spark.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() >= n:
         return df
-    key = df.columns[0]
+    key = key or df.columns[0]
     return df.repartition(n, F.col(key))
 
 
@@ -269,11 +270,33 @@ where not exists (select 1 from orders where o_custkey = c_custkey)
 
 def q_first_match(spark, sf_dir):
     # J1: first-match-wins by priority order (INDEX_FILE_TYPES order,
-    # metadata.py:258-268) — first lineitem per order by linenumber
-    li = _table(spark, sf_dir, "lineitem")
-    return first_match_wins(
-        li, ["l_orderkey"], [F.col("l_linenumber"), F.col("l_partkey")]
-    ).select("l_orderkey", "l_partkey", "l_linenumber")
+    # metadata.py:258-268) — first lineitem per order by linenumber.
+    #
+    # Round 6 (guide §2.3 "aggregate before you shuffle"): argmin by
+    # min(struct(order keys)) instead of sort+window. The order keys
+    # ARE the projected columns, so the lexicographic struct-min picks
+    # exactly the row_number()=1 row (ties agree because tied rows are
+    # identical in every output column; verified value-for-value
+    # against the window form and the DuckDB oracle). The window shape
+    # paid a full sort per side plus a post-shuffle sort that AQE
+    # serialized onto 1-2 reducers; the agg is hash-based, partially
+    # aggregated map-side, and _spread first parallelizes the map work
+    # out of the single-row-group scan task: 8.1 s -> 2.2 s at sf1.0.
+    li = _spread(
+        spark,
+        _table(spark, sf_dir, "lineitem").select(
+            "l_orderkey", "l_linenumber", "l_partkey"
+        ),
+    )
+    return (
+        li.groupBy("l_orderkey")
+        .agg(F.min(F.struct("l_linenumber", "l_partkey")).alias("_m"))
+        .select(
+            "l_orderkey",
+            F.col("_m.l_partkey").alias("l_partkey"),
+            F.col("_m.l_linenumber").alias("l_linenumber"),
+        )
+    )
 
 
 SQL_FIRST_MATCH = """
@@ -289,8 +312,21 @@ select l_orderkey, l_partkey, l_linenumber from (
 # windows / sorts / limits (SURVEY §2.5, §2.6)
 # =====================================================================
 def q_topk_per_group(spark, sf_dir):
-    # O4: per-host top-k frontier batch analog
-    o = _table(spark, sf_dir, "orders")
+    # O4: per-host top-k frontier batch analog.
+    # _spread on o_orderkey (round 6, guide §2.5 input skew): without
+    # it the window's map-side Sort + partial WindowGroupLimit run
+    # inside the single-row-group scan task (a ~2.5 s one-core
+    # straggler at sf1.0); spread first, each task sorts ~1/cores of
+    # the rows and ships <= k rows per group per task to the final
+    # window. 2.5 s -> ~1.2 s; output unchanged (same window, same
+    # order keys).
+    o = _spread(
+        spark,
+        _table(spark, sf_dir, "orders").select(
+            "o_orderpriority", "o_orderkey", "o_totalprice"
+        ),
+        key="o_orderkey",
+    )
     return topk_per_group(
         o,
         ["o_orderpriority"],
@@ -333,8 +369,17 @@ select user_id, event_id, round(cum_cost, 2) as cum_cost from (
 
 
 def q_sessionize(spark, sf_dir):
-    # session windows (gap 30 min) over the event stream
-    ev = _table(spark, sf_dir, "events")
+    # session windows (gap 30 min) over the event stream.
+    # _spread on user_id (round 6): the repartition key equals the
+    # window partition key, so Catalyst reuses the exchange — same
+    # shuffle count, but the per-user sort runs on every core instead
+    # of inside the single-row-group scan task; project to the three
+    # needed columns first (§2.3).
+    ev = _spread(
+        spark,
+        _table(spark, sf_dir, "events").select("user_id", "event_id", "ts"),
+        key="user_id",
+    )
     return sessionize(ev, "user_id", "ts", gap_seconds=1800).select(
         "user_id", "event_id", "session_id"
     )

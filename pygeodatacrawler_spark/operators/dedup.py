@@ -139,13 +139,21 @@ def minhash_lsh_pairs(
     assert k % bands == 0
     rows = k // bands
     sig = minhash_signature(df, id_col, text_col, k, shingle_n)
+    # band key = the band's raw minhash tuple (round 6, guide §2.3
+    # narrower types): two docs collide iff a band's minhash VECTOR is
+    # equal, so joining on the vector itself is definitionally the
+    # same pair set as joining on md5(concat_ws(vector)) — minus the
+    # md5 computation per doc-band and the 32-char string hash/compare
+    # per probe of the band join (the join probes O(sum of band-group
+    # sizes squared) rows, so key width multiplies into the hot loop).
     band_cols = [
         F.struct(
             F.lit(b).alias("band"),
-            F.md5(
-                F.concat_ws(
-                    ",", *[F.col(f"mh{b * rows + r}") for r in range(rows)]
-                )
+            F.struct(
+                *[
+                    F.col(f"mh{b * rows + r}").alias(f"h{r}")
+                    for r in range(rows)
+                ]
             ).alias("bh"),
         )
         for b in range(bands)
@@ -370,6 +378,36 @@ def ngram_jaccard_verify(
         ]
         return pd.Series(out, dtype=object)
 
+    # Intersection size in one Arrow-batched numpy pass (round 6,
+    # guide §4.2/§4.4). The previous shape computed the jaccard as a
+    # JVM expression and FILTERED on it: Catalyst pushed the filter
+    # into the second attach join's condition, so
+    # size(array_intersect(..)) ran as a non-codegen join condition
+    # THREE times per candidate pair, plus once more in the output
+    # projection — measured 300-500 CPU-s for the verify stage at
+    # sf1.0 (vs ~130 JIT-warm), and the timed bench run rarely got the
+    # warm version. A Python UDF cannot be evaluated inside a join
+    # condition, so the count below structurally cannot be duplicated
+    # into the join; asNondeterministic additionally pins a single
+    # evaluation under the jaccard filter (§4.4). numpy's sorted-merge
+    # intersect over the pre-sorted hash arrays is precompiled native
+    # code: no whole-stage-codegen JIT warmup, stable wall time.
+    @pandas_udf("int")
+    def _inter_size(ga: pd.Series, gb: pd.Series) -> pd.Series:
+        xs = ga.values  # object ndarray of int64 arrays (no iloc
+        ys = gb.values  # per-row overhead in the hot loop)
+        out: list = []
+        for x, y in zip(xs, ys):
+            if x is None or y is None:
+                # null gram set (null text): old array_intersect
+                # returned null -> null jaccard -> dropped at filter
+                out.append(None)
+            else:
+                out.append(int(np.intersect1d(x, y, assume_unique=True).size))
+        return pd.Series(out, dtype=object)
+
+    _inter_size = _inter_size.asNondeterministic()
+
     ga = df.select(
         F.col(id_col).alias("_vid"),
         _gram_hashes(F.col(text_col)).alias("_grams"),
@@ -377,13 +415,14 @@ def ngram_jaccard_verify(
     a = ga.select(F.col("_vid").alias("id_a"), F.col("_grams").alias("_ga"))
     b = ga.select(F.col("_vid").alias("id_b"), F.col("_grams").alias("_gb"))
     n_parts = df.sparkSession.sparkContext.defaultParallelism
-    n_inter = F.size(F.array_intersect(F.col("_ga"), F.col("_gb")))
+    n_inter = F.col("_ni")
     union = F.size(F.col("_ga")) + F.size(F.col("_gb")) - n_inter
     return (
         pairs.select("id_a", "id_b")
         .repartition(n_parts)
         .join(a, "id_a")
         .join(b, "id_b")
+        .withColumn("_ni", _inter_size(F.col("_ga"), F.col("_gb")))
         # nullif: two zero-shingle docs have an undefined jaccard (the
         # LSH stage can't emit such a pair — no shingles, no signature
         # — but direct callers can); null drops at the filter

@@ -68,6 +68,16 @@ def get_spark(
         # the reference (last writer wins, utils.py:475-487)
         .config("spark.sql.mapKeyDedupPolicy", "LAST_WIN")
     )
+    # deployment-specific overrides without touching callers (bench.py
+    # is frozen): $SPARK_GRAFT_CONF holds ;-separated key=value pairs,
+    # e.g. event-log capture for profiling, or cluster-sized shuffle
+    # partitions / memory on a real deployment. Applied before
+    # extra_conf so explicit caller settings still win.
+    env_conf = os.environ.get("SPARK_GRAFT_CONF", "")
+    for pair in filter(None, env_conf.split(";")):
+        k, _, v = pair.partition("=")
+        if k and v:
+            builder = builder.config(k.strip(), v.strip())
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
