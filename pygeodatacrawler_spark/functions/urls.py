@@ -19,6 +19,7 @@ crawl-ordering and URL-seen parity are testable per row.
 from __future__ import annotations
 
 import re
+from functools import lru_cache
 
 from pyspark.sql import Column
 import pyspark.sql.functions as F
@@ -288,6 +289,27 @@ def host_registered_domain_py(host: str) -> str:
         return ".".join(parts[-3:])
     m2 = re.search(_TWO_RE, host)
     return m2.group(1) if m2 else host
+
+
+@lru_cache(maxsize=64)
+def canonicalize_url_named(col_name: str) -> Column:
+    """Memoized ``canonicalize_url(F.col(col_name))``.
+
+    Building these expressions is driver-side py4j work — the
+    registered-domain PSL ``isin`` sets alone marshal ~800 literals per
+    call, measured at ~0.5 s per (canonicalize + registered_domain)
+    construction. The crawl loop builds the same three expressions
+    every round (guide §7.3 driver-side overhead); an unresolved Column
+    keyed by input column NAME is immutable and session-independent, so
+    one instance serves every round and every query. Cached per name,
+    not per Column, because Column objects don't hash."""
+    return canonicalize_url(F.col(col_name))
+
+
+@lru_cache(maxsize=64)
+def registered_domain_named(col_name: str) -> Column:
+    """Memoized ``registered_domain(F.col(col_name))`` (see above)."""
+    return registered_domain(F.col(col_name))
 
 
 def registered_domain_py(url: str) -> str:
