@@ -82,6 +82,27 @@ def _table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def _warm_through(df: DataFrame, col_name: str) -> DataFrame:
+    """Attach an ``observe`` metric over a computed column.
+
+    bench.py warms each query with ``df.count()`` before the timed
+    noop run ("warm plan+scan once so timing is the operator, not
+    JIT") — but for a map-only projection Catalyst prunes the computed
+    columns out of the count, so the timed run is the FIRST execution
+    of the query's codegen: janino compile + cold-JIT measured at
+    +1.0-2.2 s on lang_id/fingerprint/canonicalize at sf1.0, pure
+    first-run artifact (steady-state 0.3-0.5 s). A CollectMetrics node
+    referencing the column blocks that pruning — the warm pass then
+    compiles, JITs and evaluates exactly the operator pipeline the
+    timed run executes — while rows and columns pass through
+    untouched. Unlike a row-preserving filter (first attempt), observe
+    cannot be split, pushed below the projection, or alias-substituted
+    by the optimizer, so the expression is never duplicated.
+    Steady-state cost: one count accumulator per row. Nothing is
+    cached; every run recomputes from the parquet input."""
+    return df.observe(f"warm_{col_name}", F.count(F.col(col_name)).alias("n"))
+
+
 def _spread(
     spark: SparkSession, df: DataFrame, key: str | None = None
 ) -> DataFrame:
@@ -282,19 +303,32 @@ def q_first_match(spark, sf_dir):
     # serialized onto 1-2 reducers; the agg is hash-based, partially
     # aggregated map-side, and _spread first parallelizes the map work
     # out of the single-row-group scan task: 8.1 s -> 2.2 s at sf1.0.
+    # The argmin key packs (l_linenumber, l_partkey) into one int64
+    # (linenumber<<48 | partkey): min(struct) plans as SortAggregate
+    # (struct has no mutable hash-agg buffer), min(long) as a codegen'd
+    # HashAggregate with map-side partial agg — no sorts anywhere in
+    # the plan. Lexicographic equivalence holds because l_linenumber
+    # fits 15 bits and l_partkey 48 bits with room to spare at any
+    # TPC-H-like scale (sf 10^6 still < 2^38 parts); both non-negative.
     li = _spread(
         spark,
         _table(spark, sf_dir, "lineitem").select(
-            "l_orderkey", "l_linenumber", "l_partkey"
+            "l_orderkey",
+            (
+                F.shiftleft(F.col("l_linenumber").cast("long"), 48)
+                + F.col("l_partkey")
+            ).alias("_p"),
         ),
     )
     return (
         li.groupBy("l_orderkey")
-        .agg(F.min(F.struct("l_linenumber", "l_partkey")).alias("_m"))
+        .agg(F.min("_p").alias("_p"))
         .select(
             "l_orderkey",
-            F.col("_m.l_partkey").alias("l_partkey"),
-            F.col("_m.l_linenumber").alias("l_linenumber"),
+            F.col("_p").bitwiseAND(F.lit((1 << 48) - 1)).alias("l_partkey"),
+            F.shiftrightunsigned(F.col("_p"), 48).cast("int").alias(
+                "l_linenumber"
+            ),
         )
     )
 
@@ -613,7 +647,10 @@ _SH_BITS = 16
 
 def q_simhash(spark, sf_dir):
     d = _spread(spark, _table(spark, sf_dir, "documents"))
-    return simhash_buckets(d, "doc_id", "text", prefix_bits=_SH_BITS)
+    return _warm_through(
+        simhash_buckets(d, "doc_id", "text", prefix_bits=_SH_BITS),
+        "simhash",
+    )
 
 
 def _sql_simhash() -> str:
@@ -691,7 +728,10 @@ where {cos} >= 0.25
 # =====================================================================
 def q_lang_id(spark, sf_dir):
     d = _spread(spark, _table(spark, sf_dir, "documents"))
-    return d.select("doc_id", lang_id(F.col("text")).alias("lang_pred"))
+    return _warm_through(
+        d.select("doc_id", lang_id(F.col("text")).alias("lang_pred")),
+        "lang_pred",
+    )
 
 
 def _sql_lang_id() -> str:
@@ -733,21 +773,24 @@ def q_quality(spark, sf_dir):
     )
     nt = F.size(F.col("_toks"))
     top2 = top_ngram_count_from_tokens(F.col("_toks"), 2)
-    return staged.select(
-        "doc_id",
-        nt.alias("token_cnt"),
-        quality_score(F.col("text")).alias("q_score"),
-        F.round(dup_line_fraction(F.col("text")), 4).alias("dup_line_frac"),
-        F.when(
-            nt > 0,
-            F.least(
-                F.lit(1.0), F.round(F.lit(2.0) * top2 / nt.cast("double"), 4)
-            ),
-        )
-        .otherwise(F.lit(0.0))
-        .alias("top_bigram_frac"),
-        F.round(c4_kept_fraction(F.col("text")), 4).alias("c4_line_frac"),
-        c4_keep_doc(F.col("text")).alias("c4_keep"),
+    return _warm_through(
+        staged.select(
+            "doc_id",
+            nt.alias("token_cnt"),
+            quality_score(F.col("text")).alias("q_score"),
+            F.round(dup_line_fraction(F.col("text")), 4).alias("dup_line_frac"),
+            F.when(
+                nt > 0,
+                F.least(
+                    F.lit(1.0), F.round(F.lit(2.0) * top2 / nt.cast("double"), 4)
+                ),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("top_bigram_frac"),
+            F.round(c4_kept_fraction(F.col("text")), 4).alias("c4_line_frac"),
+            c4_keep_doc(F.col("text")).alias("c4_keep"),
+        ),
+        "q_score",
     )
 
 
@@ -799,8 +842,11 @@ def q_fingerprint(spark, sf_dir):
     from pygeodatacrawler_spark.functions.quality import fingerprint_from_tokens
 
     d = _spread(spark, _table(spark, sf_dir, "documents"))
-    return d.select("doc_id", tokens(F.col("text")).alias("_toks")).select(
-        "doc_id", fingerprint_from_tokens(F.col("_toks"), 3).alias("fp")
+    return _warm_through(
+        d.select("doc_id", tokens(F.col("text")).alias("_toks")).select(
+            "doc_id", fingerprint_from_tokens(F.col("_toks"), 3).alias("fp")
+        ),
+        "fp",
     )
 
 
@@ -869,12 +915,15 @@ PSL3_IN_LIST = ", ".join(f"'{s}'" for s in sorted(PSL_THREE_LABEL_SUFFIXES))
 def q_canonicalize(spark, sf_dir):
     u = _synth_url(spark, sf_dir)
     canon = canonicalize_url(F.col("url"))
-    return u.select(
-        "doc_id",
-        canon.alias("canon"),
-        registered_domain(canon).alias("domain"),
-        url_depth(canon).alias("depth"),
-        safe_filename(canon).alias("fname"),
+    return _warm_through(
+        u.select(
+            "doc_id",
+            canon.alias("canon"),
+            registered_domain(canon).alias("domain"),
+            url_depth(canon).alias("depth"),
+            safe_filename(canon).alias("fname"),
+        ),
+        "fname",
     )
 
 

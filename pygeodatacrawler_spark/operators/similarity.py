@@ -14,6 +14,8 @@ Embedding-cosine near-dup dedup reuses the same primitives.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 import pyspark.sql.functions as F
 
@@ -57,9 +59,35 @@ def brute_force_topk(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).cast("array<double>").alias("cv"),
     )
+
+    # Cosine in one Arrow-batched numpy pass (round 6, guide §4.2): the
+    # Column form is three interpreted ``aggregate`` folds plus a
+    # zip_with array allocation per pair — HOFs run outside codegen, so
+    # corpus x queries pairs paid ~1.3 s at 20k x 5 / 64 dims. The UDF
+    # accumulates dimension-by-dimension over the row batch
+    # (acc = acc + x[:,d]*y[:,d]), i.e. the exact left-fold IEEE
+    # operation order of aggregate(zip_with(a,b,*), 0.0, +) — results
+    # are bit-identical to the expression form (asserted against the
+    # DuckDB oracle, which uses the same fold order). Rounding stays
+    # JVM-side so F.round's HALF_UP semantics are untouched.
+    @F.pandas_udf("double")
+    def _cos(qv: pd.Series, cv: pd.Series) -> pd.Series:
+        x = np.stack(qv.values)
+        y = np.stack(cv.values)
+        dot = np.zeros(len(x))
+        nx = np.zeros(len(x))
+        ny = np.zeros(len(x))
+        for d in range(x.shape[1]):
+            xd = x[:, d]
+            yd = y[:, d]
+            dot = dot + xd * yd
+            nx = nx + xd * xd
+            ny = ny + yd * yd
+        return pd.Series(dot / (np.sqrt(nx) * np.sqrt(ny)))
+
     scored = (
         c.join(F.broadcast(q), F.col("neighbor_id") != F.col("query_id"))
-        .withColumn("cos_sim", F.round(cosine(F.col("qv"), F.col("cv")), 4))
+        .withColumn("cos_sim", F.round(_cos(F.col("qv"), F.col("cv")), 4))
         .select("query_id", "neighbor_id", "cos_sim")
     )
     w = Window.partitionBy("query_id").orderBy(
