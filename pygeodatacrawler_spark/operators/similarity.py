@@ -345,18 +345,79 @@ def embedding_near_dupes(
             lsh_probe_buckets(F.col(vec_col), n_planes, n_dims, n_probes)
         ).alias("bucket"),
     )
+
+    # Round 6 (guide §8 "decide with small rows" + §4.2): the old shape
+    # was a bucket self-JOIN with the rounded-cosine filter attached —
+    # Catalyst pushed the filter into the join condition, so the
+    # 3-fold interpreted HOF cosine ran multiple times per candidate
+    # pair, and each pair row carried both 64-d vectors (O(pairs)
+    # vector copies). Minutes at 20k vectors / 16 buckets (~12.5M
+    # in-bucket pairs). Now: cogroup per bucket — each vector crosses
+    # the shuffle ONCE per probe bucket, and a numpy kernel scores one
+    # home row against the bucket's probe matrix per iteration,
+    # accumulating dimension-by-dimension (acc = acc + x[d]*R[:,d]):
+    # the exact left-fold IEEE order of aggregate(zip_with(a,b,*)),
+    # so cosines are bit-identical to the expression form. The UDF
+    # prefilters at (threshold - 1e-4) — strictly wider than anything
+    # HALF_UP rounding to 4 dp could pull up to the threshold — and
+    # the exact F.round + filter runs JVM-side after, so the kept set
+    # is identical to the old plan's. Ids must be integral (they ride
+    # a long schema through the cogroup).
+    margin = threshold - 1e-4
+
+    def _score(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        if left.empty or right.empty:
+            return pd.DataFrame({"id_a": [], "id_b": [], "_cos": []}).astype(
+                {"id_a": "int64", "id_b": "int64", "_cos": "float64"}
+            )
+        lid = left["id"].to_numpy()
+        rid = right["id"].to_numpy()
+        lv = np.stack(left["v"].to_numpy())
+        rv = np.stack(right["v"].to_numpy())
+        ndim = lv.shape[1]
+        rnorm = np.zeros(len(rid))
+        for d in range(ndim):
+            rd = rv[:, d]
+            rnorm = rnorm + rd * rd
+        rnorm = np.sqrt(rnorm)
+        ia: list = []
+        ib: list = []
+        cs: list = []
+        for i in range(len(lid)):
+            x = lv[i]
+            nx = 0.0
+            dot = np.zeros(len(rid))
+            for d in range(ndim):
+                xd = x[d]
+                dot = dot + xd * rv[:, d]
+                nx = nx + xd * xd
+            cos = dot / (np.sqrt(nx) * rnorm)
+            keep = (lid[i] < rid) & (cos >= margin)
+            if keep.any():
+                ia.append(np.full(int(keep.sum()), lid[i], dtype=np.int64))
+                ib.append(rid[keep].astype(np.int64))
+                cs.append(cos[keep])
+        if not ia:
+            return pd.DataFrame({"id_a": [], "id_b": [], "_cos": []}).astype(
+                {"id_a": "int64", "id_b": "int64", "_cos": "float64"}
+            )
+        return pd.DataFrame(
+            {
+                "id_a": np.concatenate(ia),
+                "id_b": np.concatenate(ib),
+                "_cos": np.concatenate(cs),
+            }
+        )
+
+    scored = (
+        b.groupBy("bucket")
+        .cogroup(probe.groupBy("bucket"))
+        .applyInPandas(_score, schema="id_a long, id_b long, _cos double")
+    )
     pairs = (
-        b.alias("x")
-        .join(
-            probe.alias("y"),
-            (F.col("x.bucket") == F.col("y.bucket"))
-            & (F.col("x.id") < F.col("y.id")),
-        )
-        .withColumn("cos_sim", F.round(cosine(F.col("x.v"), F.col("y.v")), 4))
+        scored.withColumn("cos_sim", F.round(F.col("_cos"), 4))
         .filter(F.col("cos_sim") >= threshold)
-        .select(
-            F.col("x.id").alias("id_a"), F.col("y.id").alias("id_b"), "cos_sim"
-        )
+        .select("id_a", "id_b", "cos_sim")
     )
     if n_probes > 0:
         pairs = pairs.dropDuplicates(["id_a", "id_b"])
