@@ -383,7 +383,7 @@ from (select o_orderpriority, o_orderkey, o_totalprice,
 
 def q_token_budget(spark, sf_dir):
     # token-bucket politeness budget: running cost per host <= budget
-    ev = _table(spark, sf_dir, "events")
+    ev = _spread(spark, _table(spark, sf_dir, "events"), key="user_id")
     return token_budget(
         ev,
         ["user_id"],
@@ -1245,7 +1245,7 @@ select node, min(depth)::BIGINT as depth from bfs group by node
 # explode / flatten (A4 contact split analog)
 # =====================================================================
 def q_explode_tokens(spark, sf_dir):
-    d = _table(spark, sf_dir, "documents")
+    d = _spread(spark, _table(spark, sf_dir, "documents"))
     return (
         d.select("doc_id", F.explode(tokens(F.col("text"))).alias("tok"))
         .filter(F.col("tok").startswith("s"))
@@ -1269,7 +1269,9 @@ def q_cascade_match(spark, sf_dir):
     # (3) custkey any segment — first stage with a match wins
     from pygeodatacrawler_spark.operators.joins import cascade_match
 
-    o = _table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    o = _spread(
+        spark, _table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    )
     c = _table(spark, sf_dir, "customer")
     stages = [
         (
@@ -1347,7 +1349,7 @@ def q_value_delta(spark, sf_dir):
     # response parse (parseDataCite/parseCrossref shape) rides along
     # as the k column — merged from the round-1 json_extract entry to
     # free a slot in the driver's 50-entry window
-    ev = _table(spark, sf_dir, "events")
+    ev = _spread(spark, _table(spark, sf_dir, "events"), key="user_id")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     return ev.select(
         "user_id",
@@ -1391,7 +1393,9 @@ def q_media_decode(spark, sf_dir):
         decode_media,
     )
 
-    d = _table(spark, sf_dir, "documents").select("doc_id", "text")
+    d = _spread(
+        spark, _table(spark, sf_dir, "documents").select("doc_id", "text")
+    )
 
     def _make(pdf_iter):
         import json as _json
@@ -1589,7 +1593,7 @@ from documents
 def q_scalar_cleanup(spark, sf_dir):
     # O3 filename truncation, C19 concat_ws skipping empties, C11 safe
     # element_at with default, F9 content sniff (xml vs json vs invalid)
-    d = _table(spark, sf_dir, "documents")
+    d = _spread(spark, _table(spark, sf_dir, "documents"))
     toks = tokens(F.col("text"))
     payload = F.when(F.col("doc_id") % 3 == 0, F.lit('  <x a="1"/>')).when(
         F.col("doc_id") % 3 == 1, F.lit(' {"a": 1}')
@@ -1652,7 +1656,7 @@ def q_contact_collect(spark, sf_dir):
     email routing on '@', last role wins on key collision."""
     from pygeodatacrawler_spark.operators.harvest import contact_entries
 
-    d = _table(spark, sf_dir, "documents")
+    d = _spread(spark, _table(spark, sf_dir, "documents"))
     i = F.col("doc_id")
     base = d.select(
         "doc_id",
@@ -1712,7 +1716,7 @@ def q_layer_explode(spark, sf_dir):
     service/provider fields carried onto every row."""
     from pygeodatacrawler_spark.operators.ows import layer_explode
 
-    d = _table(spark, sf_dir, "documents")
+    d = _spread(spark, _table(spark, sf_dir, "documents"))
     i = F.col("doc_id").cast("string")
     caps = F.concat(
         F.lit('{"identification":{"title":"Svc '), i,
@@ -1827,7 +1831,7 @@ def q_doi_cascade(spark, sf_dir):
     though its response is valid), 2 datacite-invalid, 3 bibtex-only."""
     from pygeodatacrawler_spark.operators.doi import resolve_doi
 
-    d = _table(spark, sf_dir, "documents")
+    d = _spread(spark, _table(spark, sf_dir, "documents"))
     i = F.col("doc_id").cast("string")
     b = F.col("doc_id") % 4
     prefix = F.when(b == 1, F.lit("10.1002")).otherwise(F.lit("10.5281"))
@@ -1963,7 +1967,7 @@ def q_hll_distinct(spark, sf_dir):
     # path) — so unlike approx_count_distinct (engine-specific HLL,
     # rows-only check), the ESTIMATE is value-oracled: DuckDB computes
     # the identical sketch and the identical bias-corrected estimate.
-    ev = _table(spark, sf_dir, "events")
+    ev = _spread(spark, _table(spark, sf_dir, "events"))
     m = 512
     h = md5_long(F.col("user_id").cast("string"))
     w = F.shiftright(h, 9)
@@ -2296,7 +2300,7 @@ def q_reproject_bounds(spark, sf_dir):
     #              point (c5,c6)
     from pygeodatacrawler_spark.functions.geo import reproject_bounds
 
-    part = _table(spark, sf_dir, "part")
+    part = _spread(spark, _table(spark, sf_dir, "part"))
     nation = _table(spark, sf_dir, "nation")
 
     # + 0.0 collapses IEEE negative zero after rounding (both engines)
@@ -2616,7 +2620,7 @@ def q_token_stats(spark, sf_dir):
     # the GPT2-shaped BPE pretokenizer regex — all JVM-side regexp
     from pygeodatacrawler_spark.functions.quality import bpe_token_count
 
-    d = _table(spark, sf_dir, "documents")
+    d = _spread(spark, _table(spark, sf_dir, "documents"))
     return d.select(
         "doc_id",
         token_count(F.col("text")).alias("ws_tokens"),
@@ -2733,7 +2737,7 @@ def _export_mcf(spark, sf_dir):
     to exercise every renderer branch: XML/JSON escaping (& < > \"),
     empty vs populated keywords, null distribution, all three
     identifier shapes safeFileName must clean."""
-    d = _table(spark, sf_dir, "documents")
+    d = _spread(spark, _table(spark, sf_dir, "documents"))
     did = F.col("doc_id")
     ds = did.cast("string")
     return d.select(

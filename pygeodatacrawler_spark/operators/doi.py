@@ -428,9 +428,23 @@ def resolve_doi(
     is_http = url.startswith("http") | url.startswith("//")
     dc_allowed = ~doi_prefix(url).isin(blocklist)
 
-    dc = parse_datacite(F.col(datacite_col), url)
-    cr = parse_crossref(F.col(crossref_col), doi)
-    bt = parse_bibtex(F.col(bibtex_col), url)
+    # Stage each parse as an explicit column (round 6): the ok-flags
+    # and the mcf pick reference every parse 3-5 times, and from_json
+    # is a CodegenFallback expression whose repeats are not reliably
+    # subexpression-eliminated — the cascade re-parsed each JSON body
+    # several times per row. Referenced-more-than-once non-cheap
+    # aliases are exactly what CollapseProject refuses to re-inline,
+    # so the staged projection guarantees one parse per source per
+    # row. Same columns, same values.
+    staged = df.select(
+        "*",
+        parse_datacite(F.col(datacite_col), url).alias("_dc"),
+        parse_crossref(F.col(crossref_col), doi).alias("_cr"),
+        parse_bibtex(F.col(bibtex_col), url).alias("_bt"),
+    )
+    dc = F.col("_dc")
+    cr = F.col("_cr")
+    bt = F.col("_bt")
 
     dc_ok = is_http & doi.isNotNull() & dc_allowed & dc.isNotNull() & valide_md(dc)
     cr_ok = is_http & doi.isNotNull() & cr.isNotNull() & valide_md(cr)
@@ -442,6 +456,9 @@ def resolve_doi(
         .when(bt_ok, F.lit("bibtex"))
     )
     mcf = F.when(dc_ok, dc).when(cr_ok, cr).when(bt_ok, bt)
-    return df.withColumn("doi", doi).withColumn("resolve_stage", stage).withColumn(
-        "mcf", mcf
+    return (
+        staged.withColumn("doi", doi)
+        .withColumn("resolve_stage", stage)
+        .withColumn("mcf", mcf)
+        .drop("_dc", "_cr", "_bt")
     )
