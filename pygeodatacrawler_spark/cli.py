@@ -244,6 +244,13 @@ def main(argv: list[str] | None = None) -> int:
                 merge_log=True, key="url_hash", order_col="canon_url",
                 delta_partitions=None, read_schema=FRONTIER_SCHEMA,
             )
+            # NOTE (documented divergence, round-6 advice): WARC-Date
+            # here is EXPORT time, not fetch time — the records delta
+            # does not persist a per-fetch wall timestamp (rounds are
+            # deterministic and wall-clock-free by design), so
+            # re-exports of the same workdir produce byte-different
+            # archives. Downstream consumers needing capture dates
+            # should treat WARC-Date as the archive's creation time.
             recs = RecordsView(ft).read().withColumn(
                 "warc_ts", F.current_timestamp()
             )

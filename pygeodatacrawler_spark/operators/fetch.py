@@ -220,8 +220,18 @@ def fetch_robots_table(
                             text = r.text
                         elif r.status_code >= 500:
                             server_error = True
+                    except (
+                        requests.exceptions.Timeout,
+                        requests.exceptions.ConnectionError,
+                    ):
+                        # RFC 9309 §2.3.1.4: UNREACHABLE robots.txt
+                        # (server or NETWORK errors — timeout, refused,
+                        # DNS) MUST be treated as complete disallow,
+                        # same as 5xx (round-6 advice fix; previously
+                        # network errors fell through to unrestricted)
+                        server_error = True
                     except requests.exceptions.RequestException:
-                        text = None  # unavailable -> unrestricted
+                        text = None  # unavailable (4xx-class) -> unrestricted
                     rows.append(
                         disallow_all_row(dom, max_pages=max_pages)
                         if server_error

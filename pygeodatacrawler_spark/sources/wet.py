@@ -77,9 +77,15 @@ def write_wet(
     cols = df.select("url", "warc_ts", "text")
 
     def _write(pdf_iter):
-        pid = TaskContext.get().partitionId()
+        ctx = TaskContext.get()
+        pid = ctx.partitionId()
         final = os.path.join(out_dir, f"part-{pid:05d}{ext}")
-        tmp = final + ".inprogress"
+        # attempt number in the tmp name (round-6 advice fix): with
+        # speculation or a zombie first attempt, two attempts of the
+        # same partition would otherwise interleave writes into one
+        # tmp file and os.replace would publish a corrupt archive;
+        # per-attempt tmp + atomic rename keeps last-publisher-wins
+        tmp = f"{final}.inprogress.{ctx.taskAttemptId()}"
         n = 0
         with open(tmp, "wb") as f:
             for pdf in pdf_iter:
@@ -182,9 +188,15 @@ def write_wat(
     ext = ".warc.wat.gz" if gzip_members else ".warc.wat"
 
     def _write(pdf_iter):
-        pid = TaskContext.get().partitionId()
+        ctx = TaskContext.get()
+        pid = ctx.partitionId()
         final = os.path.join(out_dir, f"part-{pid:05d}{ext}")
-        tmp = final + ".inprogress"
+        # attempt number in the tmp name (round-6 advice fix): with
+        # speculation or a zombie first attempt, two attempts of the
+        # same partition would otherwise interleave writes into one
+        # tmp file and os.replace would publish a corrupt archive;
+        # per-attempt tmp + atomic rename keeps last-publisher-wins
+        tmp = f"{final}.inprogress.{ctx.taskAttemptId()}"
         n = 0
         with open(tmp, "wb") as f:
             for pdf in pdf_iter:

@@ -214,8 +214,11 @@ def test_fetch_robots_table_end_to_end(spark):
         assert live["sitemaps"] == ["/sitemap.xml"]
         assert "/secret/" in live["skip_pattern"]
         dead_row = rows["2.3"]
-        assert dead_row["skip_pattern"] is None
-        assert dead_row["crawl_delay"] == 0.0
+        # RFC 9309 2.3.1.4: an UNREACHABLE robots.txt (network error -
+        # here connection refused) is complete disallow, same as 5xx
+        # (round-6 advice fix; previously unreachable => unrestricted)
+        from pygeodatacrawler_spark.functions.robots import disallow_all_row
+        assert dead_row["skip_pattern"] == disallow_all_row("x")["skip_pattern"]
 
         frontier = spark.createDataFrame(
             [
