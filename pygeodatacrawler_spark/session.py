@@ -55,6 +55,20 @@ def get_spark(
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
+        # G1 sizes heap regions from total heap (8 MB regions at a
+        # 16-32 GB heap); Arrow record batches and large shuffle/
+        # broadcast byte[]s then allocate as HUMONGOUS objects, whose
+        # churn forces frequent concurrent cycles and fragmentation —
+        # measured on the doc-heavy queries as a 2-3x wall-time
+        # inflation late in a long session (ngram_jaccard 15.4 s vs
+        # 7.5 s A/B at sf1.0 with everything else identical). 32 MB
+        # regions make those allocations regular. Heap-proportional,
+        # not cluster-size-specific; executors get the same treatment
+        # for real deployments (local mode has only the driver JVM).
+        # Overridable via $SPARK_GRAFT_CONF / extra_conf (later
+        # .config() calls win).
+        .config("spark.driver.extraJavaOptions", "-XX:G1HeapRegionSize=32m")
+        .config("spark.executor.extraJavaOptions", "-XX:G1HeapRegionSize=32m")
         .config("spark.ui.enabled", "false")
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
         # web-page rows carry ~10-100KB html binaries; the default

@@ -52,7 +52,13 @@ DAY_NS = 86_400_000_000_000
 
 
 def write1(path: str, table: pa.Table) -> None:
-    pq.write_table(table, path, row_group_size=max(table.num_rows, 1))
+    # pyarrow DEFAULT row-group size (1Mi rows), matching the driver's
+    # generator: every sf0.1 table lands in ONE row group (observed in
+    # /root/testdata — single-task scans), while at sf1.0 lineitem
+    # gets ~6 groups and orders 2, so scan parallelism is poor but not
+    # strictly serial. (An earlier revision forced one row group per
+    # table, which was overly pessimistic for the big tables.)
+    pq.write_table(table, path)
 
 
 def ts_days(rng, n, start_ns, n_days):
