@@ -414,8 +414,14 @@ def q_sessionize(spark, sf_dir):
         _table(spark, sf_dir, "events").select("user_id", "event_id", "ts"),
         key="user_id",
     )
-    return sessionize(ev, "user_id", "ts", gap_seconds=1800).select(
-        "user_id", "event_id", "session_id"
+    # _warm_through: a window preserves row count, so the harness's
+    # warm count() prunes it entirely and the timed run paid the
+    # window pipeline's first-execution codegen (~2x)
+    return _warm_through(
+        sessionize(ev, "user_id", "ts", gap_seconds=1800).select(
+            "user_id", "event_id", "session_id"
+        ),
+        "session_id",
     )
 
 
