@@ -386,7 +386,7 @@ def ngram_jaccard_verify(
     """
     n = shingle_n
 
-    @pandas_udf("array<long>")
+    @pandas_udf("binary")
     def _gram_hashes(text: pd.Series) -> pd.Series:
         from pandas.util import hash_array  # noqa: PLC0415 (executor-side)
 
@@ -408,8 +408,17 @@ def ngram_jaccard_verify(
             h = hash_array(np.asarray(grams, dtype=object)).view("int64")
         else:
             h = np.empty(0, dtype=np.int64)
+        # packed BINARY, not array<long> (round 6): the sorted hash
+        # set travels as one bytes value per doc, so the Arrow -> JVM
+        # -> Arrow hops around the attach joins move a single buffer
+        # per row instead of a list array, and the python side
+        # reconstructs the int64 view with a zero-copy np.frombuffer
+        # (the list-array path allocated a fresh small ndarray per
+        # row on every conversion — measured GC-heavy at 3.9M pairs).
         out = [
-            None if isnull else np.unique(h[bounds[i] : bounds[i + 1]])
+            None
+            if isnull
+            else np.unique(h[bounds[i] : bounds[i + 1]]).tobytes()
             for i, isnull in enumerate(nulls)
         ]
         return pd.Series(out, dtype=object)
@@ -430,8 +439,8 @@ def ngram_jaccard_verify(
     # code: no whole-stage-codegen JIT warmup, stable wall time.
     @pandas_udf("int")
     def _inter_size(ga: pd.Series, gb: pd.Series) -> pd.Series:
-        xs = ga.values  # object ndarray of int64 arrays (no iloc
-        ys = gb.values  # per-row overhead in the hot loop)
+        xs = ga.values  # object ndarray of bytes (packed int64 sets)
+        ys = gb.values
         out: list = []
         for x, y in zip(xs, ys):
             if x is None or y is None:
@@ -439,7 +448,15 @@ def ngram_jaccard_verify(
                 # returned null -> null jaccard -> dropped at filter
                 out.append(None)
             else:
-                out.append(int(np.intersect1d(x, y, assume_unique=True).size))
+                out.append(
+                    int(
+                        np.intersect1d(
+                            np.frombuffer(x, dtype=np.int64),
+                            np.frombuffer(y, dtype=np.int64),
+                            assume_unique=True,
+                        ).size
+                    )
+                )
         return pd.Series(out, dtype=object)
 
     _inter_size = _inter_size.asNondeterministic()
@@ -452,7 +469,12 @@ def ngram_jaccard_verify(
     b = ga.select(F.col("_vid").alias("id_b"), F.col("_grams").alias("_gb"))
     n_parts = df.sparkSession.sparkContext.defaultParallelism
     n_inter = F.col("_ni")
-    union = F.size(F.col("_ga")) + F.size(F.col("_gb")) - n_inter
+    # set sizes from the packed binary: 8 bytes per int64 hash
+    union = (
+        (F.length(F.col("_ga")) / 8).cast("int")
+        + (F.length(F.col("_gb")) / 8).cast("int")
+        - n_inter
+    )
     return (
         pairs.select("id_a", "id_b")
         .repartition(n_parts)
